@@ -1,0 +1,299 @@
+"""Configuration for the TPU-native ASR framework.
+
+The reference keeps one argparse singleton parsed at *import time*
+(``utils/constant.py:4-108``) whose namespace leaks into every module. Here
+the same ~50 flags (same names, same defaults — drop-in CLI contract) are
+parsed once by the entry points into a frozen :class:`Config` dataclass that
+is threaded explicitly and serialized into checkpoints.
+
+Special token ids/chars match ``utils/constant.py:102-108``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+PAD_TOKEN = 0
+SOS_TOKEN = 1
+EOS_TOKEN = 2
+
+PAD_CHAR = "¶"  # ¶
+SOS_CHAR = "§"  # §
+EOS_CHAR = "¤"  # ¤
+
+
+@dataclass(frozen=True)
+class Config:
+    """Frozen run configuration mirroring the reference CLI flag-for-flag.
+
+    Field names are the argparse dests from ``utils/constant.py:6-94``;
+    extra TPU-only knobs live at the bottom and default to values that
+    reproduce reference behavior.
+    """
+
+    # model / run identity
+    model: str = "TRFS"
+    name: str = "model"
+
+    # manifests
+    train_manifest_list: Tuple[str, ...] = ()
+    valid_manifest_list: Tuple[str, ...] = ()
+    test_manifest_list: Tuple[str, ...] = ()
+    lang_list: Tuple[str, ...] = ()
+
+    # data
+    sample_rate: int = 16000
+    batch_size: int = 20
+    num_workers: int = 4
+    labels_path: str = "labels.json"
+    label_smoothing: float = 0.0
+
+    # features (reference: utils/data_loader.py:60-91)
+    window_size: float = 0.02
+    window_stride: float = 0.01
+    window: str = "hamming"
+
+    # training
+    epochs: int = 1000
+    cuda: bool = False  # kept for CLI parity; ignored (accelerator = TPU)
+    device_ids: Optional[Tuple[int, ...]] = None
+    lr: float = 3e-4
+    save_every: int = 5
+    save_folder: str = "models/"
+    emb_trg_sharing: bool = False
+    feat_extractor: str = "vgg_cnn"
+    verbose: bool = False
+    continue_from: str = ""
+
+    # augmentation
+    augment: bool = False
+    noise_dir: Optional[str] = None
+    noise_prob: float = 0.4
+    noise_min: float = 0.0
+    noise_max: float = 0.5
+
+    # transformer dims (reference defaults utils/constant.py:52-62)
+    num_layers: int = 3
+    num_heads: int = 5
+    dim_model: int = 512
+    dim_key: int = 64
+    dim_value: int = 64
+    dim_input: int = 161
+    dim_inner: int = 1024
+    dim_emb: int = 512
+    src_max_len: int = 4000
+    tgt_max_len: int = 1000
+
+    # Noam optimizer
+    warmup: int = 4000
+    min_lr: float = 1e-5
+    k_lr: float = 1.0
+
+    # SGD optimizer (CTC/annealing path)
+    momentum: float = 0.9
+    lr_anneal: float = 1.1
+
+    # decoder search
+    beam_search: bool = False
+    beam_width: int = 3
+    beam_nbest: int = 5
+    lm_rescoring: bool = False
+    lm_path: str = "lm_model.pt"
+    lm_weight: float = 0.1
+    c_weight: float = 0.1
+    prob_weight: float = 1.0
+
+    # loss
+    loss: str = "ce"
+    clip: bool = False
+    max_norm: float = 400.0
+    dropout: float = 0.1
+
+    # parallelism (reference: nn.DataParallel; here: device mesh)
+    parallel: bool = False
+    shuffle: bool = False
+
+    # ---- TPU-native knobs (not in reference CLI) ----
+    seed: int = 123456  # reference seeds torch with 123456 (constant.py:96)
+    dtype: str = "bfloat16"  # compute dtype for matmuls; params stay f32
+    decode_max_len: int = 300  # reference hardcodes 300 (transformer.py:332,423)
+    # Static bucket ladders replacing dynamic per-batch padding; values are
+    # upper bounds, the last of each must cover src_max_len / tgt_max_len.
+    src_buckets: Tuple[int, ...] = (200, 400, 800, 1600, 2400, 4000)
+    tgt_buckets: Tuple[int, ...] = (50, 100, 200, 400, 1000)
+    # Mesh axes for SPMD execution; data axis replaces --parallel/--device-ids.
+    mesh_data: int = 0  # 0 = use all visible devices on the data axis
+    # Reference passes raw frame lengths to post-conv (T/4) tensors, which
+    # makes encoder/cross-attn pad masks a no-op when a conv frontend is on
+    # (transformer.py:78, SURVEY.md §7). True = reproduce; False = compute
+    # properly subsampled lengths (recommended for new models).
+    ref_compat_masks: bool = True
+    use_pallas_features: bool = True  # fused on-device feature kernel
+
+    # ------------------------------------------------------------------
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "Config":
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+    # Conv-frontend output feature dim, matching the arithmetic in
+    # utils/functions.py:116-133 of the reference.
+    def conv_dim_input(self) -> int:
+        n_freq = int(math.floor((self.sample_rate * self.window_size) / 2) + 1)
+        if self.feat_extractor == "emb_cnn":
+            h = int(math.floor(n_freq - 41) / 2 + 1)
+            h = int(math.floor(h - 21) / 2 + 1)
+            return h * 32
+        if self.feat_extractor == "vgg_cnn":
+            return int(math.floor(int(math.floor(n_freq) / 2) / 2)) * 128
+        return self.dim_input
+
+    @property
+    def n_fft(self) -> int:
+        return int(self.sample_rate * self.window_size)
+
+    @property
+    def hop_length(self) -> int:
+        return int(self.sample_rate * self.window_stride)
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Argparse parser with the exact flags of ``utils/constant.py:4-94``."""
+    p = argparse.ArgumentParser(description="ASR training (TPU-native)")
+    p.add_argument("--model", default="TRFS", type=str, help="TRFS:transformer")
+    p.add_argument("--name", default="model", help="Name of the model for saving")
+
+    p.add_argument("--train-manifest-list", nargs="+", type=str, default=[])
+    p.add_argument("--valid-manifest-list", nargs="+", type=str, default=[])
+    p.add_argument("--test-manifest-list", nargs="+", type=str, default=[])
+    p.add_argument("--lang-list", nargs="+", type=str, default=[])
+
+    p.add_argument("--sample-rate", default=16000, type=int)
+    p.add_argument("--batch-size", default=20, type=int)
+    p.add_argument("--num-workers", default=4, type=int)
+    p.add_argument("--labels-path", default="labels.json")
+    p.add_argument("--label-smoothing", default=0.0, type=float)
+    p.add_argument("--window-size", default=0.02, type=float)
+    p.add_argument("--window-stride", default=0.01, type=float)
+    p.add_argument("--window", default="hamming")
+    p.add_argument("--epochs", default=1000, type=int)
+    p.add_argument("--cuda", dest="cuda", action="store_true")
+    p.add_argument("--device-ids", default=None, nargs="+", type=int)
+    p.add_argument("--lr", "--learning-rate", default=3e-4, type=float)
+    p.add_argument("--save-every", default=5, type=int)
+    p.add_argument("--save-folder", default="models/")
+    p.add_argument("--emb_trg_sharing", action="store_true")
+    p.add_argument("--feat_extractor", default="vgg_cnn", type=str)
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--continue-from", default="")
+    p.add_argument("--augment", dest="augment", action="store_true")
+    p.add_argument("--noise-dir", default=None)
+    p.add_argument("--noise-prob", default=0.4, type=float)
+    p.add_argument("--noise-min", default=0.0, type=float)
+    p.add_argument("--noise-max", default=0.5, type=float)
+
+    p.add_argument("--num-layers", default=3, type=int)
+    p.add_argument("--num-heads", default=5, type=int)
+    p.add_argument("--dim-model", default=512, type=int)
+    p.add_argument("--dim-key", default=64, type=int)
+    p.add_argument("--dim-value", default=64, type=int)
+    p.add_argument("--dim-input", default=161, type=int)
+    p.add_argument("--dim-inner", default=1024, type=int)
+    p.add_argument("--dim-emb", default=512, type=int)
+    p.add_argument("--src-max-len", default=4000, type=int)
+    p.add_argument("--tgt-max-len", default=1000, type=int)
+
+    p.add_argument("--warmup", default=4000, type=int)
+    p.add_argument("--min-lr", default=1e-5, type=float)
+    p.add_argument("--k-lr", default=1, type=float)
+    p.add_argument("--momentum", default=0.9, type=float)
+    p.add_argument("--lr-anneal", default=1.1, type=float)
+
+    p.add_argument("--beam-search", action="store_true")
+    p.add_argument("--beam-width", default=3, type=int)
+    p.add_argument("--beam-nbest", default=5, type=int)
+    p.add_argument("--lm-rescoring", action="store_true")
+    p.add_argument("--lm-path", type=str, default="lm_model.pt")
+    p.add_argument("--lm-weight", default=0.1, type=float)
+    p.add_argument("--c-weight", default=0.1, type=float)
+    p.add_argument("--prob-weight", default=1.0, type=float)
+
+    p.add_argument("--loss", type=str, default="ce")
+    p.add_argument("--clip", action="store_true")
+    p.add_argument("--max-norm", default=400, type=float)
+    p.add_argument("--dropout", default=0.1, type=float)
+    p.add_argument("--parallel", action="store_true")
+    p.add_argument("--shuffle", action="store_true")
+
+    # TPU-native extras
+    p.add_argument("--seed", default=123456, type=int)
+    p.add_argument("--dtype", default="bfloat16", type=str)
+    p.add_argument("--decode-max-len", default=300, type=int)
+    p.add_argument("--mesh-data", default=0, type=int,
+                   help="devices on the data-parallel mesh axis (0 = all)")
+    p.add_argument("--no-ref-compat-masks", dest="ref_compat_masks",
+                   action="store_false",
+                   help="use properly subsampled encoder pad masks instead "
+                        "of the reference's raw-length (no-op) masks")
+    p.add_argument("--no-pallas-features", dest="use_pallas_features",
+                   action="store_false")
+    return p
+
+
+def config_from_args(argv: Optional[List[str]] = None) -> Config:
+    ns = build_parser().parse_args(argv)
+    d = vars(ns)
+    for k in ("train_manifest_list", "valid_manifest_list",
+              "test_manifest_list", "lang_list"):
+        d[k] = tuple(d.get(k) or ())
+    if d.get("device_ids") is not None:
+        d["device_ids"] = tuple(d["device_ids"])
+    return Config.from_dict(d)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary
+# ---------------------------------------------------------------------------
+
+def build_vocab(labels: str) -> Tuple[Dict[str, int], Dict[int, str]]:
+    """Build label2id/id2label with PAD/SOS/EOS prepended and duplicate
+    labels skipped, matching ``train.py:44-57``."""
+    labels = PAD_CHAR + SOS_CHAR + EOS_CHAR + labels
+    label2id: Dict[str, int] = {}
+    id2label: Dict[int, str] = {}
+    count = 0
+    for ch in labels:
+        if ch not in label2id:
+            label2id[ch] = count
+            id2label[count] = ch
+            count += 1
+    return label2id, id2label
+
+
+def load_vocab(labels_path: str) -> Tuple[Dict[str, int], Dict[int, str]]:
+    with open(labels_path, encoding="utf-8") as f:
+        labels = str("".join(json.load(f)))
+    return build_vocab(labels)

@@ -1,0 +1,66 @@
+"""Batched greedy decoding as a single compiled `lax.scan`.
+
+Reference: Decoder.greedy_search (models/asr/transformer.py:316-394) runs a
+Python loop of 300 steps and re-runs the ENTIRE decoder stack over the
+growing prefix each step — O(n²·layers) full-prefix recompute on host-driven
+control flow. Here each step is a KV-cached `decode_step` inside `lax.scan`:
+one compiled program, O(n) per step, batch-parallel on the MXU. With
+dropout off (eval) the cached step is numerically identical to full-prefix
+recompute.
+
+Inference-mode quirks reproduced: non-pad mask of ones and NO cross-attn
+mask (transformer.py:336-348), argmax fed back even after EOS, host-side
+string cut at the first EOS (transformer.py:385-394).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from end2end_asr_tpu.config import EOS_TOKEN, SOS_TOKEN
+from end2end_asr_tpu.models import decoder as D
+from end2end_asr_tpu.models.transformer import ModelDims
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "max_len"))
+def greedy_decode(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
+                  max_len: int = 300) -> jnp.ndarray:
+    """enc_out: (B, T_enc, H). Returns generated ids (B, max_len)."""
+    B = enc_out.shape[0]
+    dec = params["decoder"]
+    cache = D.init_cache(dec, enc_out, max_len, dims.num_heads,
+                         dims.dim_key, dims.dim_value, dtype=dims.dtype)
+
+    def step(carry, t):
+        token, cache = carry
+        logits, cache = D.decode_step(
+            dec, cache, token, t, dims.num_heads, dims.dim_key,
+            dims.dim_value, dims.dim_model,
+            emb_trg_sharing=dims.emb_trg_sharing, dtype=dims.dtype)
+        next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (next_token, cache), next_token
+
+    init_token = jnp.full((B,), SOS_TOKEN, jnp.int32)
+    (_, _), tokens = jax.lax.scan(step, (init_token, cache),
+                                  jnp.arange(max_len))
+    return tokens.T  # (B, max_len)
+
+
+def ids_to_strings(ids, id2label: Dict[int, str]) -> List[str]:
+    """Host-side: chars until the first EOS (exclusive), like
+    transformer.py:385-394. The learned leading SOS char stays in the
+    string (callers strip specials, test.py:44)."""
+    import numpy as np
+    out = []
+    for row in np.asarray(ids):
+        s = ""
+        for tok in row:
+            if int(tok) == EOS_TOKEN:
+                break
+            s += id2label.get(int(tok), "")
+        out.append(s)
+    return out

@@ -1,0 +1,247 @@
+"""Transformer decoder: training forward + KV-cached single-step decode.
+
+Reference: models/asr/transformer.py:206-305 (Decoder), :519-545
+(DecoderLayer). Reproduced quirks (required for checkpoint parity):
+
+  * `preprocess` prepends SOS to targets that ALREADY begin with SOS and
+    appends EOS to targets that already end with EOS (the dataset emits
+    SOS+text+EOS, utils/data_loader.py:135-141; preprocess re-wraps,
+    transformer.py:254-266) — so seq_in = [SOS, SOS, chars…, EOS] and
+    seq_out = [SOS, chars…, EOS, EOS].
+  * seq_in is padded with EOS (not PAD) and both the decoder non-pad mask
+    and the self-attention key-pad mask use pad_idx=EOS
+    (transformer.py:263,282-285), which also masks the sequence's real
+    trailing EOS as an attention key.
+  * At inference the reference uses non_pad_mask = 1 and NO cross-attention
+    mask (transformer.py:336-348,430-443); the cached step here matches
+    that exactly (dropout off makes cache ≡ full-prefix recompute).
+
+The reference pads seq_in/seq_out to a fixed tgt_max_len=1000
+(common_layers.py:14-22) and pays full decoder compute on it every batch;
+here the target width is a static bucket (trainer picks it), which is
+numerically identical under the PAD mask but compiles to far less work.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from end2end_asr_tpu.config import EOS_TOKEN, PAD_TOKEN, SOS_TOKEN
+from end2end_asr_tpu.models import layers as L
+
+Params = Dict[str, object]
+
+
+def init_decoder(key, num_vocab: int, num_layers: int, num_heads: int,
+                 dim_emb: int, dim_model: int, dim_inner: int,
+                 dim_key: int, dim_value: int, trg_max_length: int = 1000,
+                 emb_trg_sharing: bool = False) -> Params:
+    keys = jax.random.split(key, 2 + num_layers)
+    layers_p = []
+    for i in range(num_layers):
+        ka, kc, kf = jax.random.split(keys[2 + i], 3)
+        layers_p.append({
+            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key, dim_value),
+            "enc_attn": L.init_mha(kc, num_heads, dim_model, dim_key, dim_value),
+            "ffn": L.init_ffn(kf, dim_model, dim_inner),
+        })
+    p: Params = {
+        # nn.Embedding re-initialized xavier-uniform by the container
+        # (transformer.py:55-57); fan counted over (V, dim_emb).
+        "embedding": L.xavier_uniform(keys[0], (num_vocab, dim_emb),
+                                      num_vocab, dim_emb),
+        "layers": layers_p,
+        "pe": L.sinusoid_table(trg_max_length, dim_model),
+    }
+    if not emb_trg_sharing:
+        p["output_linear"] = {"w": L.xavier_uniform(
+            keys[1], (dim_model, num_vocab), dim_model, num_vocab)}
+    return p
+
+
+def logit_scale(dim_model: int, emb_trg_sharing: bool) -> float:
+    return dim_model ** -0.5 if emb_trg_sharing else 1.0
+
+
+def output_logits(p: Params, h: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Bias-free output projection; tied to embedding when sharing."""
+    if "output_linear" in p:
+        w = p["output_linear"]["w"]
+    else:
+        w = p["embedding"].T
+    return (h.astype(dtype) @ w.astype(dtype)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Target preprocessing (transformer.py:254-266 + common_layers.py:14-22)
+# ---------------------------------------------------------------------------
+
+def preprocess_targets(targets: jnp.ndarray,
+                       pad_to: Optional[int] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """targets: (B, U) PAD-padded token ids (already SOS…EOS wrapped by the
+    dataset). Returns (seq_in, seq_out), both (B, pad_to or U+1).
+
+    seq_in  = SOS + targets, EOS-padded.
+    seq_out = targets + EOS, PAD-padded.
+    """
+    B, U = targets.shape
+    width = pad_to if pad_to is not None else U + 1
+    lengths = jnp.sum(targets != PAD_TOKEN, axis=1)  # (B,)
+
+    pos = jnp.arange(width)[None, :]
+
+    # seq_in: shift right, SOS in front, replace PAD tail with EOS
+    tgt_w = jnp.pad(targets, ((0, 0), (0, max(0, width - U))))[:, :width]
+    shifted = jnp.concatenate(
+        [jnp.full((B, 1), SOS_TOKEN, targets.dtype), tgt_w[:, :width - 1]], axis=1)
+    # position 0 is SOS; positions 1..len hold targets; rest (which held
+    # PAD in `shifted`) become EOS.
+    seq_in = jnp.where(pos <= lengths[:, None], shifted, EOS_TOKEN)
+
+    # seq_out: targets then EOS then PAD
+    seq_out = jnp.where(pos < lengths[:, None], tgt_w,
+                        jnp.where(pos == lengths[:, None],
+                                  jnp.full_like(tgt_w, EOS_TOKEN),
+                                  jnp.full_like(tgt_w, PAD_TOKEN)))
+    return seq_in.astype(jnp.int32), seq_out.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Training forward (transformer.py:268-305)
+# ---------------------------------------------------------------------------
+
+def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
+                  enc_input_lengths: jnp.ndarray,
+                  num_heads: int, dim_key: int, dim_value: int,
+                  dim_model: int, emb_trg_sharing: bool = False,
+                  dropout_rate: float = 0.1, deterministic: bool = True,
+                  rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Returns logits (B, U, V)."""
+    B, U = seq_in.shape
+    T_enc = enc_out.shape[1]
+
+    non_pad = L.non_pad_mask_from_pad(seq_in, EOS_TOKEN)  # (B,U,1)
+    self_mask = (L.attn_key_pad_mask(seq_in, EOS_TOKEN, U)
+                 | L.subsequent_mask(B, U))
+    cross_mask = L.attn_pad_mask_from_lengths(enc_input_lengths, T_enc, U)
+
+    scale = logit_scale(dim_model, emb_trg_sharing)
+    emb = p["embedding"][seq_in] * scale + p["pe"][None, :U]
+    if rng is not None:
+        rng, sub = jax.random.split(rng)
+        out = L.dropout(sub, emb, dropout_rate, deterministic)
+    else:
+        out = emb
+
+    for lp in p["layers"]:
+        if rng is not None:
+            rng, r1, r2, r3 = jax.random.split(rng, 4)
+        else:
+            r1 = r2 = r3 = None
+        out = L.mha(lp["self_attn"], out, out, out, num_heads, dim_key,
+                    dim_value, mask=self_mask, dropout_rate=dropout_rate,
+                    deterministic=deterministic, rng=r1, dtype=dtype)
+        out = out * non_pad
+        out = L.mha(lp["enc_attn"], out, enc_out, enc_out, num_heads,
+                    dim_key, dim_value, mask=cross_mask,
+                    dropout_rate=dropout_rate, deterministic=deterministic,
+                    rng=r2, dtype=dtype)
+        out = out * non_pad
+        out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
+                    deterministic=deterministic, rng=r3, dtype=dtype)
+        out = out * non_pad
+
+    return output_logits(p, out, dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV-cached single-step decode (replaces the reference's full-prefix re-run
+# each of 300 steps, transformer.py:332-348; exact with dropout off)
+# ---------------------------------------------------------------------------
+
+def init_cache(p: Params, enc_out: jnp.ndarray, max_len: int,
+               num_heads: int, dim_key: int, dim_value: int,
+               dtype=jnp.bfloat16) -> List[Dict[str, jnp.ndarray]]:
+    """Precompute per-layer cross K/V from encoder output and allocate
+    self-attention K/V rings. enc_out: (B, T_enc, H)."""
+    B = enc_out.shape[0]
+    T_enc = enc_out.shape[1]
+    cache = []
+    for lp in p["layers"]:
+        k_cross = L.dense(lp["enc_attn"]["k"], enc_out, dtype).reshape(
+            B, T_enc, num_heads, dim_key)
+        v_cross = L.dense(lp["enc_attn"]["v"], enc_out, dtype).reshape(
+            B, T_enc, num_heads, dim_value)
+        cache.append({
+            "k_self": jnp.zeros((B, max_len, num_heads, dim_key), dtype),
+            "v_self": jnp.zeros((B, max_len, num_heads, dim_value), dtype),
+            "k_cross": k_cross,
+            "v_cross": v_cross,
+        })
+    return cache
+
+
+def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+            dim_key: int, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """q: (B, nh, dk); k/v: (B, Tk, nh, d); valid: (B, Tk) bool or None."""
+    scale = 1.0 / math.sqrt(dim_key)
+    attn = jnp.einsum("bhd,bkhd->bhk", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    if valid is not None:
+        attn = jnp.where(valid[:, None, :], attn, -jnp.inf)
+    attn = jax.nn.softmax(attn, axis=-1)
+    return jnp.einsum("bhk,bkhd->bhd", attn.astype(k.dtype), v,
+                      preferred_element_type=jnp.float32)
+
+
+def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
+                num_heads: int, dim_key: int, dim_value: int,
+                dim_model: int, emb_trg_sharing: bool = False,
+                dtype=jnp.bfloat16):
+    """One decode step. token: (B,) int32 ids at position t (scalar traced).
+    Returns (logits (B, V), new_cache). Inference semantics: non-pad mask 1,
+    no cross mask, dropout off (transformer.py:336-348)."""
+    B = token.shape[0]
+    scale = logit_scale(dim_model, emb_trg_sharing)
+    x = p["embedding"][token] * scale + p["pe"][t]  # (B, H)
+
+    new_cache = []
+    for lp, c in zip(p["layers"], cache):
+        residual = x
+        sa = lp["self_attn"]
+        q = L.dense(sa["q"], x, dtype).reshape(B, num_heads, dim_key)
+        k_t = L.dense(sa["k"], x, dtype).reshape(B, num_heads, dim_key)
+        v_t = L.dense(sa["v"], x, dtype).reshape(B, num_heads, dim_value)
+        k_self = jax.lax.dynamic_update_index_in_dim(c["k_self"], k_t, t, 1)
+        v_self = jax.lax.dynamic_update_index_in_dim(c["v_self"], v_t, t, 1)
+        valid = (jnp.arange(k_self.shape[1])[None, :] <= t)
+        valid = jnp.broadcast_to(valid, (B, k_self.shape[1]))
+        out = _attend(q, k_self, v_self, dim_key, valid)
+        out = out.reshape(B, num_heads * dim_value)
+        out = L.dense(sa["out"], out.astype(dtype), dtype).astype(jnp.float32)
+        x = L.layer_norm(sa["ln"], out + residual)
+
+        residual = x
+        ea = lp["enc_attn"]
+        q = L.dense(ea["q"], x, dtype).reshape(B, num_heads, dim_key)
+        out = _attend(q, c["k_cross"], c["v_cross"], dim_key, None)
+        out = out.reshape(B, num_heads * dim_value)
+        out = L.dense(ea["out"], out.astype(dtype), dtype).astype(jnp.float32)
+        x = L.layer_norm(ea["ln"], out + residual)
+
+        residual = x
+        fp = lp["ffn"]
+        h = jax.nn.relu(L.dense(fp["w1"], x, dtype))
+        h = L.dense(fp["w2"], h, dtype).astype(jnp.float32)
+        x = L.layer_norm(fp["ln"], h + residual)
+
+        new_cache.append({"k_self": k_self, "v_self": v_self,
+                          "k_cross": c["k_cross"], "v_cross": c["v_cross"]})
+
+    logits = output_logits(p, x, dtype)  # (B, V)
+    return logits, new_cache

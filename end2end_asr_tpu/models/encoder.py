@@ -1,0 +1,72 @@
+"""Transformer encoder.
+
+Reference: models/asr/transformer.py:126-203 (Encoder / EncoderLayer).
+Structure per layer: post-LN self-attention → non-pad-mask multiply →
+conv-FFN → non-pad-mask multiply. Input projection + LayerNorm + additive
+sinusoidal positional encoding at the bottom (transformer.py:172-173).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from end2end_asr_tpu.models import layers as L
+
+Params = Dict[str, object]
+
+
+def init_encoder(key, num_layers: int, num_heads: int, dim_model: int,
+                 dim_key: int, dim_value: int, dim_input: int,
+                 dim_inner: int, src_max_length: int = 2500) -> Params:
+    keys = jax.random.split(key, 2 + num_layers)
+    layers_p = []
+    for i in range(num_layers):
+        ka, kf = jax.random.split(keys[2 + i])
+        layers_p.append({
+            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key, dim_value),
+            "ffn": L.init_ffn(kf, dim_model, dim_inner),
+        })
+    return {
+        "input_linear": L.init_dense(keys[0], dim_input, dim_model),
+        "ln_input": L.init_layer_norm(dim_model),
+        "layers": layers_p,
+        # static, non-trainable buffer (kept in params for checkpointing
+        # symmetry with the reference's registered buffer)
+        "pe": L.sinusoid_table(src_max_length, dim_model),
+    }
+
+
+def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
+                  num_heads: int, dim_key: int, dim_value: int,
+                  dropout_rate: float = 0.1, deterministic: bool = True,
+                  rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """x: (B, T, dim_input) post-frontend features; input_lengths: (B,).
+
+    Masks follow reference semantics exactly: lengths >= T mask nothing
+    (the conv-frontend no-op quirk — see layers.non_pad_mask_from_lengths).
+    """
+    B, T, _ = x.shape
+    non_pad = L.non_pad_mask_from_lengths(input_lengths, T)  # (B,T,1)
+    self_attn_mask = L.attn_pad_mask_from_lengths(input_lengths, T, T)
+
+    out = L.layer_norm(p["ln_input"], L.dense(p["input_linear"], x, dtype)
+                       .astype(jnp.float32))
+    out = out + p["pe"][None, :T]
+
+    for lp in p["layers"]:
+        if rng is not None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+        else:
+            r1 = r2 = None
+        out = L.mha(lp["self_attn"], out, out, out,
+                    num_heads, dim_key, dim_value, mask=self_attn_mask,
+                    dropout_rate=dropout_rate, deterministic=deterministic,
+                    rng=r1, dtype=dtype)
+        out = out * non_pad
+        out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
+                    deterministic=deterministic, rng=r2, dtype=dtype)
+        out = out * non_pad
+    return out

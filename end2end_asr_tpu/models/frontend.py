@@ -1,0 +1,163 @@
+"""Conv feature front-ends: `emb_cnn` (deepspeech2-style) and `vgg_cnn`.
+
+Reference: models/asr/transformer.py:32-53 (construction) and :70-76
+(apply + reshape). The reference runs NCHW with H=freq, W=time; here the
+layout is NHWC — (B, F, T, C) — which is the layout XLA:TPU tiles best.
+The output feature ordering after flattening matches the reference's
+`view(B, C*F', T').transpose(1,2)`, i.e. feature index = c * F' + f, so
+converted reference checkpoints line up exactly.
+
+BatchNorm (emb_cnn only) is functional: running stats live in a `state`
+pytree returned alongside the params; train mode normalizes with batch
+statistics and returns updated running stats (torch momentum 0.1 semantics).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from end2end_asr_tpu.models.layers import xavier_uniform, torch_bias_uniform
+
+Params = Dict[str, object]
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+def _init_conv(key, kh: int, kw: int, c_in: int, c_out: int) -> Params:
+    kw_key, kb_key = jax.random.split(key)
+    fan_in = c_in * kh * kw
+    fan_out = c_out * kh * kw
+    return {
+        "w": xavier_uniform(kw_key, (kh, kw, c_in, c_out), fan_in, fan_out),
+        "b": torch_bias_uniform(kb_key, (c_out,), fan_in),
+    }
+
+
+def _conv(p: Params, x: jnp.ndarray, stride: Tuple[int, int],
+          padding, dtype=jnp.bfloat16) -> jnp.ndarray:
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["w"].astype(dtype),
+        window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + p["b"]
+
+
+def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding="VALID")
+
+
+def _init_bn(c: int) -> Tuple[Params, Params]:
+    params = {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+    state = {"mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+    return params, state
+
+
+def _bn(p: Params, s: Params, x: jnp.ndarray, train: bool):
+    if train:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        new_s = {
+            "mean": (1 - BN_MOMENTUM) * s["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * s["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = s["mean"], s["var"]
+        new_s = s
+    y = (x - mean) * jax.lax.rsqrt(var + BN_EPS) * p["scale"] + p["bias"]
+    return y, new_s
+
+
+# ---------------------------------------------------------------------------
+
+def init_frontend(key, feat_extractor: str) -> Tuple[Optional[Params], Optional[Params]]:
+    """Returns (params, state); (None, None) when no frontend."""
+    if feat_extractor == "vgg_cnn":
+        ks = jax.random.split(key, 4)
+        params = {
+            "conv1": _init_conv(ks[0], 3, 3, 1, 64),
+            "conv2": _init_conv(ks[1], 3, 3, 64, 64),
+            "conv3": _init_conv(ks[2], 3, 3, 64, 128),
+            "conv4": _init_conv(ks[3], 3, 3, 128, 128),
+        }
+        return params, {}
+    if feat_extractor == "emb_cnn":
+        ks = jax.random.split(key, 2)
+        bn1_p, bn1_s = _init_bn(32)
+        bn2_p, bn2_s = _init_bn(32)
+        params = {
+            "conv1": _init_conv(ks[0], 41, 11, 1, 32),
+            "bn1": bn1_p,
+            "conv2": _init_conv(ks[1], 21, 11, 32, 32),
+            "bn2": bn2_p,
+        }
+        return params, {"bn1": bn1_s, "bn2": bn2_s}
+    return None, None
+
+
+def apply_frontend(params: Optional[Params], state: Optional[Params],
+                   spect: jnp.ndarray, feat_extractor: str,
+                   train: bool = False, dtype=jnp.bfloat16):
+    """spect: (B, F, T) log-spectrogram. Returns ((B, T', H), new_state).
+
+    H and T' follow the reference arithmetic (utils/functions.py:116-133):
+    vgg_cnn → (F//4)*128 @ T//4; emb_cnn → 672 @ roughly T/2.
+    """
+    if feat_extractor not in ("vgg_cnn", "emb_cnn"):
+        # no frontend: (B, F, T) -> (B, T, F)  (transformer.py:74-76)
+        return jnp.transpose(spect, (0, 2, 1)), state
+
+    x = spect[..., None]  # (B, F, T, 1)
+    if feat_extractor == "vgg_cnn":
+        x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME", dtype))
+        x = jax.nn.relu(_conv(params["conv2"], x, (1, 1), "SAME", dtype))
+        x = _max_pool2(x)
+        x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME", dtype))
+        x = jax.nn.relu(_conv(params["conv4"], x, (1, 1), "SAME", dtype))
+        x = _max_pool2(x)
+        new_state = state
+    else:  # emb_cnn
+        # Conv2d(1→32, (41,11), stride (2,2), padding (0,10)) — torch pads
+        # height by 0 and width by 10 on both sides.
+        x = _conv(params["conv1"], x, (2, 2), [(0, 0), (10, 10)], dtype)
+        x, s1 = _bn(params["bn1"], state["bn1"], x, train)
+        x = jnp.clip(x, 0.0, 20.0)  # Hardtanh(0, 20)
+        x = _conv(params["conv2"], x, (2, 1), [(0, 0), (0, 0)], dtype)
+        x, s2 = _bn(params["bn2"], state["bn2"], x, train)
+        x = jnp.clip(x, 0.0, 20.0)
+        new_state = {"bn1": s1, "bn2": s2}
+
+    # (B, F', T', C) -> (B, T', C*F') with feature index = c*F' + f,
+    # matching view(B, C*F', T').transpose(1, 2) in transformer.py:74-76.
+    B, Fp, Tp, C = x.shape
+    x = jnp.transpose(x, (0, 2, 3, 1)).reshape(B, Tp, C * Fp)
+    return x.astype(jnp.float32), new_state
+
+
+def frontend_time_reduction(feat_extractor: str) -> int:
+    """Static time-axis subsampling factor (vgg: 4; emb: ~2; none: 1)."""
+    if feat_extractor == "vgg_cnn":
+        return 4
+    if feat_extractor == "emb_cnn":
+        return 2
+    return 1
+
+
+def frontend_out_time(feat_extractor: str, T: int) -> int:
+    """Exact post-frontend time length for input length T."""
+    if feat_extractor == "vgg_cnn":
+        return T // 2 // 2
+    if feat_extractor == "emb_cnn":
+        t1 = (T + 20 - 11) // 2 + 1
+        return t1 - 11 + 1
+    return T

@@ -1,0 +1,124 @@
+"""Functional optimizers: Noam-scheduled Adam and annealing SGD.
+
+Noam schedule matches utils/optimizer.py:3-32:
+    rate = max(min_lr, factor * model_size^-0.5
+                      * min(step^-0.5, step * warmup^-1.5))
+with the reference's quirk preserved: `model_size` is args.dim_input — the
+post-conv feature dim (161, 672 or 5120), NOT dim_model
+(utils/functions.py:107). Step starts at 1 (NoamOpt increments before
+computing the rate).
+
+Adam reproduces torch.optim.Adam(betas=(0.9, 0.98), eps=1e-9) semantics:
+    m̂ = m/(1-β1^t), v̂ = v/(1-β2^t), p -= lr * m̂ / (sqrt(v̂) + eps).
+
+AnnealingOpt note: the reference's AnnealingOpt.step only divides the LR
+and never applies the SGD update (utils/optimizer.py:42-45) — a latent
+bug, and the CTC path always constructs Noam anyway (train.py:103). The
+`sgd_annealing` here implements the *intended* behavior (nesterov SGD with
+lr /= anneal per step).
+
+Gradient clipping matches torch.nn.utils.clip_grad_norm_ (global L2 norm).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NoamConfig(NamedTuple):
+    model_size: int  # args.dim_input (reference quirk)
+    factor: float    # args.k_lr
+    warmup: int
+    min_lr: float
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1e-9
+
+
+def noam_rate(step: jnp.ndarray, c: NoamConfig) -> jnp.ndarray:
+    step = step.astype(jnp.float32)
+    rate = (c.factor * c.model_size ** -0.5 *
+            jnp.minimum(step ** -0.5, step * c.warmup ** -1.5))
+    return jnp.maximum(c.min_lr, rate)
+
+
+def init_adam_state(params) -> Dict:
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    return {"step": jnp.zeros((), jnp.int32),
+            "mu": zeros,
+            "nu": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    leaves = jax.tree_util.tree_leaves(grads)
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
+
+
+def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
+                     clip: bool = False, max_norm: float = 400.0
+                     ) -> Tuple[Dict, Dict, jnp.ndarray]:
+    """One optimizer step. Returns (new_params, new_state, lr)."""
+    if clip:
+        grads, _ = clip_by_global_norm(grads, max_norm)
+    step = state["step"] + 1
+    lr = noam_rate(step, c)
+    t = step.astype(jnp.float32)
+    bc1 = 1.0 - c.beta1 ** t
+    bc2 = 1.0 - c.beta2 ** t
+
+    def upd(p, g, m, v):
+        g = g.astype(jnp.float32)
+        m = c.beta1 * m + (1.0 - c.beta1) * g
+        v = c.beta2 * v + (1.0 - c.beta2) * jnp.square(g)
+        denom = jnp.sqrt(v / bc2) + c.eps
+        new_p = p - lr * (m / bc1) / denom
+        return new_p, m, v
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_m = treedef.flatten_up_to(state["mu"])
+    flat_v = treedef.flatten_up_to(state["nu"])
+    out = [upd(p, g, m, v) for p, g, m, v in
+           zip(flat_p, flat_g, flat_m, flat_v)]
+    new_params = treedef.unflatten([o[0] for o in out])
+    new_mu = treedef.unflatten([o[1] for o in out])
+    new_nu = treedef.unflatten([o[2] for o in out])
+    return new_params, {"step": step, "mu": new_mu, "nu": new_nu}, lr
+
+
+# ---------------------------------------------------------------------------
+# Annealing SGD (intended semantics of utils/optimizer.py:34-45)
+# ---------------------------------------------------------------------------
+
+def init_sgd_state(params, lr: float) -> Dict:
+    return {"step": jnp.zeros((), jnp.int32),
+            "lr": jnp.asarray(lr, jnp.float32),
+            "buf": jax.tree_util.tree_map(jnp.zeros_like, params)}
+
+
+def sgd_annealing_update(params, grads, state: Dict, momentum: float,
+                         lr_anneal: float, clip: bool = False,
+                         max_norm: float = 400.0):
+    if clip:
+        grads, _ = clip_by_global_norm(grads, max_norm)
+    lr = state["lr"] / lr_anneal
+
+    def upd(p, g, b):
+        g = g.astype(jnp.float32)
+        b = momentum * b + g
+        return p - lr * (g + momentum * b), b  # nesterov
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_b = treedef.flatten_up_to(state["buf"])
+    out = [upd(p, g, b) for p, g, b in zip(flat_p, flat_g, flat_b)]
+    new_params = treedef.unflatten([o[0] for o in out])
+    new_buf = treedef.unflatten([o[1] for o in out])
+    return new_params, {"step": state["step"] + 1, "lr": lr,
+                        "buf": new_buf}, lr
