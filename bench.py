@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Throughput benchmark on real TPU hardware.
+
+Primary metric (BASELINE.json): utterances/sec/chip for the training step
+on the AiShell-1 README config — vgg_cnn frontend, 4 layers, 8 heads,
+dim_model 512, dim_key/value 64, dim_inner 2048, dim_emb 512, batch 12,
+label smoothing (README.md:58 of the reference). Synthetic utterances of
+~8s (800 frames ≈ the AiShell average bucket) with realistic target
+lengths; the step includes on-device feature extraction, forward,
+loss, backward and the Noam/Adam update — everything the reference's hot
+loop does per batch (trainer/asr/trainer.py:49-111).
+
+vs_baseline compares against an ESTIMATED A100 PyTorch reference
+throughput for the same config (the reference publishes no throughput —
+SURVEY.md §6; BASELINE.json's north star is ≥5× an A100 baseline).
+Estimate: batch 12 / ~0.35 s per optimizer step on A100 for this
+4-layer/512-dim model with DataLoader-side STFT ≈ 34 utt/s. Revisit when
+a measured number exists.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_UTTS_PER_SEC = 34.0  # documented estimate, see module docstring
+
+BATCH = 12
+T_FRAMES = 800   # ~8s at 10ms hop
+U_TGT = 48
+VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import functools
+    import jax
+
+    from __graft_entry__ import _flagship_cfg, _synthetic_batch
+    from end2end_asr_tpu.models.transformer import (dims_from_config,
+                                                    init_transformer)
+    from end2end_asr_tpu.training.optimizer import init_adam_state
+    from end2end_asr_tpu.training.steps import make_train_step
+
+    cfg = _flagship_cfg().replace(batch_size=BATCH)
+    dims = dims_from_config(cfg)
+
+    params, state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=VOCAB))(jax.random.PRNGKey(0))
+    opt_state = init_adam_state(params)
+    step = make_train_step(cfg, dims, from_pcm=True)
+
+    pcm, n_frames, targets, tgt_lengths = _synthetic_batch(
+        cfg, BATCH, T_FRAMES, U_TGT)
+    targets = np.minimum(targets, VOCAB - 1).astype(np.int32)
+
+    rng = jax.random.PRNGKey(1)
+    for i in range(WARMUP_STEPS):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, state, m, _, _ = step(
+            params, opt_state, state, sub, pcm, n_frames, targets,
+            tgt_lengths, spect_T=T_FRAMES)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.time()
+    for i in range(MEASURE_STEPS):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, state, m, _, _ = step(
+            params, opt_state, state, sub, pcm, n_frames, targets,
+            tgt_lengths, spect_T=T_FRAMES)
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+
+    n_chips = max(1, len(jax.devices()))
+    utts_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "utterances/sec/chip (train, AiShell README config, "
+                  "800-frame bucket, incl. on-device features)",
+        "value": round(utts_per_sec_per_chip, 2),
+        "unit": "utt/s/chip",
+        "vs_baseline": round(
+            utts_per_sec_per_chip / A100_BASELINE_UTTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

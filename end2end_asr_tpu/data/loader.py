@@ -1,0 +1,188 @@
+"""Bucketed batch loader with static shapes + host prefetch.
+
+TPU-first inversion of the reference's pipeline: instead of dynamic
+per-batch max-length padding computed in DataLoader worker processes
+(utils/data_loader.py:182-214), batches are padded to a STATIC bucket
+ladder (Config.src_buckets frames × Config.tgt_buckets tokens) so XLA
+compiles a handful of programs, and the heavy feature math runs on device
+(ops/features.py) from raw PCM.
+
+BucketingSampler semantics preserved (utils/data_loader.py:223-243):
+sequential index bins of batch_size over duration-sorted manifests,
+shuffle WITHIN a bin every iteration, shuffle bin order on .shuffle(epoch).
+
+A `Prefetcher` (worker threads — WAV decode is native C++ releasing the
+GIL) keeps a queue of ready host batches in front of the device step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from end2end_asr_tpu.config import Config, PAD_TOKEN
+from end2end_asr_tpu.data.dataset import ManifestDataset
+from end2end_asr_tpu.data.features import num_frames, parse_audio_features
+from end2end_asr_tpu.ops.features import reflect_pad_pcm
+
+
+class BucketingSampler:
+    def __init__(self, n: int, batch_size: int, seed: int = 123456):
+        ids = list(range(n))
+        self.bins = [ids[i:i + batch_size]
+                     for i in range(0, len(ids), batch_size)]
+        self.rng = np.random.RandomState(seed)
+
+    def __iter__(self) -> Iterator[List[int]]:
+        for ids in self.bins:
+            self.rng.shuffle(ids)
+            yield list(ids)
+
+    def __len__(self) -> int:
+        return len(self.bins)
+
+    def shuffle(self, epoch: int) -> None:
+        self.rng.shuffle(self.bins)
+
+
+@dataclass
+class Batch:
+    """Host-side batch. Exactly one of pcm/spect is set depending on
+    whether features are computed on device (production) or host (oracle
+    fallback)."""
+    pcm: Optional[np.ndarray]          # (B, N + 2*pad) reflect-padded
+    spect: Optional[np.ndarray]        # (B, F, T)
+    n_frames: np.ndarray               # (B,) valid spectrogram frames
+    src_bucket: int                    # T (frames after padding)
+    targets: np.ndarray                # (B, U_bucket) PAD-padded, SOS…EOS
+    tgt_lengths: np.ndarray            # (B,)
+    src_percentages: np.ndarray        # (B,) frames / bucket (parity)
+    utt_seconds: float                 # summed audio seconds (throughput)
+
+
+def pick_bucket(value: int, ladder: Sequence[int]) -> int:
+    for b in ladder:
+        if value <= b:
+            return b
+    return ladder[-1]
+
+
+class AudioBatchLoader:
+    """Iterates (possibly sampler-driven) batches of a ManifestDataset."""
+
+    def __init__(self, dataset: ManifestDataset, cfg: Config,
+                 sampler: Optional[BucketingSampler] = None,
+                 batch_size: Optional[int] = None,
+                 host_features: bool = False,
+                 seed: int = 123456):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.sampler = sampler or BucketingSampler(
+            len(dataset), batch_size or cfg.batch_size, seed=seed)
+        self.host_features = host_features
+        self.epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def shuffle(self, epoch: int) -> None:
+        self.sampler.shuffle(epoch)
+
+    def __iter__(self) -> Iterator[Batch]:
+        cfg = self.cfg
+        rng = np.random.RandomState(self._seed + self.epoch)
+        self.epoch += 1
+        for bin_ids in self.sampler:
+            yield self._build_batch(bin_ids, rng)
+
+    def _build_batch(self, bin_ids: List[int],
+                     rng: np.random.RandomState) -> Batch:
+        cfg = self.cfg
+        n_fft, hop = cfg.n_fft, cfg.hop_length
+        items = [self.dataset.get_item(i, rng) for i in bin_ids]
+        pcms = [it[0] for it in items]
+        transcripts = [it[1] for it in items]
+
+        frames = np.array([min(num_frames(len(y), n_fft, hop),
+                               cfg.src_max_len) for y in pcms])
+        T_b = pick_bucket(int(frames.max()), cfg.src_buckets)
+        T_b = min(T_b, cfg.src_max_len)
+        frames = np.minimum(frames, T_b)
+
+        U_max = max(len(t) for t in transcripts)
+        U_b = pick_bucket(U_max, cfg.tgt_buckets)
+        U_b = min(U_b, cfg.tgt_max_len)
+
+        B = len(items)
+        targets = np.full((B, U_b), PAD_TOKEN, np.int32)
+        tgt_lengths = np.zeros(B, np.int32)
+        for i, t in enumerate(transcripts):
+            t = t[:U_b]
+            targets[i, :len(t)] = t
+            tgt_lengths[i] = len(t)
+
+        utt_seconds = sum(len(y) for y in pcms) / cfg.sample_rate
+
+        if self.host_features:
+            F = cfg.n_freq
+            spect = np.zeros((B, F, T_b), np.float32)
+            for i, y in enumerate(pcms):
+                s = parse_audio_features(
+                    y, cfg.sample_rate, cfg.window_size, cfg.window_stride,
+                    cfg.window, normalize=True, src_max_len=cfg.src_max_len)
+                s = s[:, :T_b]
+                spect[i, :, :s.shape[1]] = s
+            return Batch(pcm=None, spect=spect, n_frames=frames,
+                         src_bucket=T_b, targets=targets,
+                         tgt_lengths=tgt_lengths,
+                         src_percentages=frames / float(T_b),
+                         utt_seconds=utt_seconds)
+
+        # device-feature path: reflect-pad PCM rows on host, heavy math on TPU
+        n_pcm = (T_b - 1) * hop  # samples that yield exactly T_b frames
+        pad = n_fft // 2
+        pcm = np.zeros((B, n_pcm + 2 * pad), np.float32)
+        for i, y in enumerate(pcms):
+            y = y[:n_pcm]
+            pcm[i] = reflect_pad_pcm(y, n_fft, n_pcm)
+        return Batch(pcm=pcm, spect=None, n_frames=frames, src_bucket=T_b,
+                     targets=targets, tgt_lengths=tgt_lengths,
+                     src_percentages=frames / float(T_b),
+                     utt_seconds=utt_seconds)
+
+
+class Prefetcher:
+    """Thread-pool batch prefetcher: builds up to `depth` batches ahead."""
+
+    def __init__(self, loader: AudioBatchLoader, depth: int = 2,
+                 num_workers: int = 2):
+        self.loader = loader
+        self.depth = max(1, depth)
+        self.num_workers = max(1, num_workers)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item

@@ -1,0 +1,218 @@
+"""Batched beam search, compiled.
+
+Reference: Decoder.beam_search (models/asr/transformer.py:396-517) — a
+per-utterance Python loop over dict hypotheses that re-runs the decoder
+over the whole prefix for EVERY hypothesis at EVERY step. Here the beam
+dimension is folded into the batch ((B, W) → B·W rows), each step is one
+KV-cached decode_step, and the whole search is a single `lax.scan`.
+
+Semantics preserved:
+  * expansion: each alive hypothesis proposes top-W tokens; keep the best
+    W by cumulative log-prob (transformer.py:445-462);
+  * a hypothesis whose chosen token is EOS retires to a finished pool and
+    is NOT refilled (the reference's shrinking hyps list, :469-492);
+  * at step enc_T - 1 every still-alive hypothesis gets EOS appended
+    WITHOUT adding its log-prob (:464-467);
+  * final ranking happens on host with the reference's exact formula
+    final = score + sqrt(num_words)·c_weight
+    (+ lm_weight·lm_score − 2·oov when LM-rescoring, :473-488) over the
+    finished pool; the pool keeps the best `POOL_FACTOR·W` finished
+    hypotheses by raw score (the reference keeps all — in practice the
+    eventual winner is always near the top by raw score; cap documented);
+  * empty pool for an utterance → greedy fallback (the reference falls
+    back to greedy for the whole batch on count mismatch,
+    transformer.py:114-116; here the fallback is per-utterance).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from end2end_asr_tpu.config import Config, EOS_TOKEN, SOS_TOKEN
+from end2end_asr_tpu.models import decoder as D
+from end2end_asr_tpu.models.transformer import ModelDims
+from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+
+NEG = -1.0e30
+POOL_FACTOR = 4
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dims", "W", "n_steps", "force_eos"))
+def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
+                       W: int, n_steps: int, force_eos: bool):
+    """Returns (pool_tokens (B,P,L), pool_scores (B,P), pool_lens (B,P)).
+
+    L = n_steps + 2 (SOS + n_steps tokens + forced EOS slot). Invalid pool
+    entries have score <= NEG/2.
+    """
+    B, T_enc, H = enc_out.shape
+    dec = params["decoder"]
+    P = POOL_FACTOR * W
+    L = n_steps + 2
+
+    enc_rep = jnp.repeat(enc_out, W, axis=0)  # (B*W, T_enc, H)
+    cache = D.init_cache(dec, enc_rep, L, dims.num_heads, dims.dim_key,
+                         dims.dim_value, dtype=dims.dtype)
+
+    tokens = jnp.full((B, W, L), EOS_TOKEN, jnp.int32)
+    tokens = tokens.at[:, :, 0].set(SOS_TOKEN)
+    scores = jnp.full((B, W), NEG, jnp.float32).at[:, 0].set(0.0)
+    alive = jnp.zeros((B, W), bool).at[:, 0].set(True)
+
+    pool_tokens = jnp.full((B, P, L), EOS_TOKEN, jnp.int32)
+    pool_scores = jnp.full((B, P), NEG, jnp.float32)
+    pool_lens = jnp.zeros((B, P), jnp.int32)
+
+    def insert_pool(pool_t, pool_s, pool_l, new_t, new_s, new_l):
+        """Merge W candidates into the per-utterance top-P pool."""
+        all_t = jnp.concatenate([pool_t, new_t], axis=1)  # (B, P+W, L)
+        all_s = jnp.concatenate([pool_s, new_s], axis=1)
+        all_l = jnp.concatenate([pool_l, new_l], axis=1)
+        top_s, top_i = jax.lax.top_k(all_s, P)
+        take = jax.vmap(lambda t, i: t[i])
+        return take(all_t, top_i), top_s, take(all_l, top_i)
+
+    def step(carry, t):
+        tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+        last = tokens[:, :, t].reshape(B * W)
+        logits, cache = D.decode_step(
+            dec, cache, last, t, dims.num_heads, dims.dim_key,
+            dims.dim_value, dims.dim_model,
+            emb_trg_sharing=dims.emb_trg_sharing, dtype=dims.dtype)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, W, V)
+
+        cand = jnp.where(alive[:, :, None], scores[:, :, None] + logp, NEG)
+        top_s, top_i = jax.lax.top_k(cand.reshape(B, W * V), W)  # (B, W)
+        parent = top_i // V
+        tok = (top_i % V).astype(jnp.int32)
+
+        # gather parent prefixes + caches
+        take_rows = jax.vmap(lambda x, i: x[i])
+        new_tokens = take_rows(tokens, parent)  # (B, W, L)
+        new_tokens = new_tokens.at[:, :, t + 1].set(tok)
+        flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(B * W)
+        new_cache = jax.tree_util.tree_map(
+            lambda c: c[flat_parent] if c.shape[0] == B * W else c, cache)
+
+        parent_alive = take_rows(alive, parent)
+        valid = parent_alive & (top_s > NEG / 2)
+        ended = valid & (tok == EOS_TOKEN)
+        new_alive = valid & ~ended
+
+        end_s = jnp.where(ended, top_s, NEG)
+        end_l = jnp.full((B, W), t + 2, jnp.int32)
+        pool_t, pool_s, pool_l = insert_pool(
+            pool_t, pool_s, pool_l, new_tokens, end_s, end_l)
+
+        new_scores = jnp.where(new_alive, top_s, NEG)
+        return (new_tokens, new_scores, new_alive, new_cache,
+                pool_t, pool_s, pool_l), None
+
+    carry = (tokens, scores, alive, cache, pool_tokens, pool_scores,
+             pool_lens)
+    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
+    tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+
+    if force_eos:
+        # transformer.py:464-467: surviving hyps get EOS appended (no
+        # added log-prob) and retire
+        forced_t = tokens.at[:, :, n_steps + 1].set(EOS_TOKEN)
+        forced_s = jnp.where(alive, scores, NEG)
+        forced_l = jnp.full((B, W), n_steps + 2, jnp.int32)
+        pool_t, pool_s, pool_l = insert_pool(
+            pool_t, pool_s, pool_l, forced_t, forced_s, forced_l)
+
+    return pool_t, pool_s, pool_l
+
+
+class BeamDecoder:
+    """Host wrapper: device beam → host final scoring/LM rescoring/nbest."""
+
+    def __init__(self, cfg: Config, dims: ModelDims,
+                 id2label: Dict[int, str], lm=None):
+        self.cfg = cfg
+        self.dims = dims
+        self.id2label = id2label
+        self.lm = lm
+
+    def _final_score(self, ids: np.ndarray, raw_score: float,
+                     length: int) -> Tuple[float, str]:
+        """transformer.py:473-488 exactly: strip specials, collapse double
+        spaces, word-count bonus, optional LM rescoring."""
+        from end2end_asr_tpu.config import EOS_CHAR, PAD_CHAR, SOS_CHAR
+        chars = "".join(self.id2label.get(int(x), "")
+                        for x in ids[:length])
+        seq_str = (chars.replace(PAD_CHAR, "").replace(SOS_CHAR, "")
+                   .replace(EOS_CHAR, "")).replace("  ", " ")
+        num_words = len(seq_str.split())
+        if self.lm is not None and self.cfg.lm_rescoring:
+            from end2end_asr_tpu.decoding.lm_rescoring import calculate_lm_score
+            lm_score, lm_num_words, oov = calculate_lm_score(
+                ids[:length], self.lm, self.id2label)
+            lm_score -= oov * 2
+            final = (raw_score + self.cfg.lm_weight * lm_score
+                     + math.sqrt(lm_num_words) * self.cfg.c_weight)
+        else:
+            final = raw_score + math.sqrt(num_words) * self.cfg.c_weight
+        return final, seq_str
+
+    def decode_nbest(self, params, enc_out, nbest: Optional[int] = None
+                     ) -> List[List[Tuple[List[int], str]]]:
+        """Returns, per utterance, up to nbest (ids, string) pairs ranked
+        by final score. Strings include special chars like
+        post_process_hyp (yseq[1:], transformer.py:307-314)."""
+        cfg = self.cfg
+        nbest = nbest or 1
+        B, T_enc = enc_out.shape[0], enc_out.shape[1]
+        n_steps = min(cfg.decode_max_len, T_enc)
+        force = T_enc <= cfg.decode_max_len
+        pool_t, pool_s, pool_l = beam_search_device(
+            params, enc_out, self.dims, cfg.beam_width, n_steps, force)
+        pool_t = np.asarray(pool_t)
+        pool_s = np.asarray(pool_s)
+        pool_l = np.asarray(pool_l)
+
+        results: List[List[Tuple[List[int], str]]] = []
+        need_greedy = []
+        for b in range(B):
+            cands = []
+            for p in range(pool_t.shape[1]):
+                if pool_s[b, p] <= NEG / 2:
+                    continue
+                final, _ = self._final_score(pool_t[b, p],
+                                             float(pool_s[b, p]),
+                                             int(pool_l[b, p]))
+                cands.append((final, p))
+            cands.sort(reverse=True)
+            utt = []
+            for final, p in cands[:nbest]:
+                ids = pool_t[b, p, :int(pool_l[b, p])].tolist()
+                s = "".join(self.id2label.get(int(x), "") for x in ids[1:])
+                utt.append((ids, s))
+            results.append(utt)
+            if not utt:
+                need_greedy.append(b)
+
+        if need_greedy:
+            # greedy fallback (reference: transformer.py:114-116)
+            ids = greedy_decode(params, enc_out, self.dims,
+                                max_len=min(cfg.decode_max_len,
+                                            cfg.tgt_max_len))
+            strs = ids_to_strings(ids, self.id2label)
+            for b in need_greedy:
+                results[b] = [(np.asarray(ids)[b].tolist(), strs[b])]
+        return results
+
+    def decode(self, params, enc_out) -> List[str]:
+        """1-best strings per utterance."""
+        return [utt[0][1] if utt else ""
+                for utt in self.decode_nbest(params, enc_out, nbest=1)]

@@ -1,0 +1,87 @@
+"""Batch evaluation (the reference's test.py:19-62 evaluate()).
+
+Decodes every batch (greedy or beam), strips special chars, accumulates
+CER / WER / CER_EN / CER_ZH totals.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import numpy as np
+
+from end2end_asr_tpu.config import Config, EOS_CHAR, PAD_CHAR, SOS_CHAR
+from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+from end2end_asr_tpu.models.transformer import dims_from_config
+from end2end_asr_tpu.training.steps import make_encode_fn
+from end2end_asr_tpu.training.trainer import ids_to_string_until_pad
+from end2end_asr_tpu.utils.metrics import (calculate_cer, calculate_cer_en_zh,
+                                           calculate_wer)
+
+logger = logging.getLogger("end2end_asr_tpu")
+
+
+def _strip(s: str) -> str:
+    return (s.replace(EOS_CHAR, "").replace(SOS_CHAR, "")
+            .replace(PAD_CHAR, ""))
+
+
+def evaluate(params, model_state, cfg: Config, test_loader,
+             id2label: Dict[int, str], lm=None, label2id=None,
+             verbose: bool = False) -> Dict[str, float]:
+    dims = dims_from_config(cfg)
+    encode_fn = None
+    beam = None
+    if cfg.beam_search:
+        from end2end_asr_tpu.decoding.beam import BeamDecoder
+        beam = BeamDecoder(cfg, dims, id2label, lm=lm)
+
+    totals = dict(word=0, char=0, cer=0, wer=0,
+                  en_cer=0, zh_cer=0, en_char=0, zh_char=0)
+
+    for batch in test_loader:
+        from_pcm = batch.pcm is not None
+        if encode_fn is None:
+            encode_fn = make_encode_fn(cfg, dims, from_pcm)
+        arr = batch.pcm if from_pcm else batch.spect
+        enc_out, enc_lens = encode_fn(params, model_state, arr,
+                                      batch.n_frames,
+                                      spect_T=batch.src_bucket)
+        golds = [_strip(ids_to_string_until_pad(row, id2label))
+                 for row in np.asarray(batch.targets)]
+
+        if beam is not None:
+            hyps = beam.decode(params, enc_out)
+        else:
+            max_len = min(cfg.decode_max_len, cfg.tgt_max_len)
+            ids = greedy_decode(params, enc_out, dims, max_len=max_len)
+            hyps = ids_to_strings(ids, id2label)
+
+        for hyp_raw, gold_raw in zip(hyps, golds):
+            hyp, gold = _strip(hyp_raw), _strip(gold_raw)
+            if verbose:
+                logger.info("HYP: %s || GOLD: %s", hyp, gold)
+            totals["wer"] += calculate_wer(hyp, gold)
+            totals["cer"] += calculate_cer(hyp.strip(), gold.strip())
+            en_cer, zh_cer, n_en, n_zh = calculate_cer_en_zh(hyp, gold)
+            totals["en_cer"] += en_cer
+            totals["zh_cer"] += zh_cer
+            totals["en_char"] += n_en
+            totals["zh_char"] += n_zh
+            totals["word"] += len(gold.split(" "))
+            totals["char"] += len(gold)
+
+        logger.info(
+            "TEST CER:%.2f%% WER:%.2f%% CER_EN:%.2f%% CER_ZH:%.2f%%",
+            totals["cer"] * 100 / max(1, totals["char"]),
+            totals["wer"] * 100 / max(1, totals["word"]),
+            totals["en_cer"] * 100 / max(1, totals["en_char"]),
+            totals["zh_cer"] * 100 / max(1, totals["zh_char"]))
+
+    return {
+        "cer": totals["cer"] * 100 / max(1, totals["char"]),
+        "wer": totals["wer"] * 100 / max(1, totals["word"]),
+        "cer_en": totals["en_cer"] * 100 / max(1, totals["en_char"]),
+        "cer_zh": totals["zh_cer"] * 100 / max(1, totals["zh_char"]),
+    }

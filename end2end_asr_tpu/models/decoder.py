@@ -55,7 +55,10 @@ def init_decoder(key, num_vocab: int, num_layers: int, num_heads: int,
         "embedding": L.xavier_uniform(keys[0], (num_vocab, dim_emb),
                                       num_vocab, dim_emb),
         "layers": layers_p,
-        "pe": L.sinusoid_table(trg_max_length, dim_model),
+        # +1: preprocess_targets widens a full-length bucket by the
+        # prepended SOS (seq width = U+1); rows beyond the reference's
+        # trg_max_length buffer are the same deterministic sinusoid
+        "pe": L.sinusoid_table(trg_max_length + 1, dim_model),
     }
     if not emb_trg_sharing:
         p["output_linear"] = {"w": L.xavier_uniform(
@@ -190,13 +193,12 @@ def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             dim_key: int, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
     """q: (B, nh, dk); k/v: (B, Tk, nh, d); valid: (B, Tk) bool or None."""
     scale = 1.0 / math.sqrt(dim_key)
-    attn = jnp.einsum("bhd,bkhd->bhk", q, k,
-                      preferred_element_type=jnp.float32) * scale
+    attn = jnp.einsum("bhd,bkhd->bhk", q, k).astype(jnp.float32) * scale
     if valid is not None:
         attn = jnp.where(valid[:, None, :], attn, -jnp.inf)
     attn = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("bhk,bkhd->bhd", attn.astype(k.dtype), v,
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum("bhk,bkhd->bhd", attn.astype(k.dtype), v
+                      ).astype(jnp.float32)
 
 
 def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,

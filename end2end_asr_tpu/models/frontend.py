@@ -40,12 +40,14 @@ def _init_conv(key, kh: int, kw: int, c_in: int, c_out: int) -> Params:
 
 def _conv(p: Params, x: jnp.ndarray, stride: Tuple[int, int],
           padding, dtype=jnp.bfloat16) -> jnp.ndarray:
+    # compute-dtype in/out (XLA's TPU conv accumulates f32 internally for
+    # bf16 inputs); preferred_element_type upcasting breaks the transpose
+    # rule under grad with mixed dtypes
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), p["w"].astype(dtype),
         window_strides=stride, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    return y + p["b"]
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"].astype(y.dtype)
 
 
 def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:

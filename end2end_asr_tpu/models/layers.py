@@ -185,8 +185,7 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
     v = dense(p["v"], value, dtype).reshape(B, Tk, num_heads, dim_value)
 
     scale = 1.0 / math.sqrt(dim_key)  # temperature = sqrt(dim_key)
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                      preferred_element_type=jnp.float32) * scale
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
     if mask is not None:
         attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
     attn = jax.nn.softmax(attn, axis=-1)
@@ -194,8 +193,7 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
         rng, sub = jax.random.split(rng)
         attn = dropout(sub, attn, dropout_rate, deterministic)
 
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(dtype), v)
     out = out.reshape(B, Tq, num_heads * dim_value)
     out = dense(p["out"], out.astype(dtype), dtype).astype(jnp.float32)
     if not deterministic and dropout_rate > 0.0:

@@ -1,0 +1,59 @@
+"""Device mesh + sharding rules (SPMD data parallelism).
+
+Replaces the reference's single-process nn.DataParallel
+(--parallel/--device-ids, train.py:97-99, utils/functions.py:154-161):
+instead of replicating the module and scattering the batch every forward
+over NCCL, parameters live resident on every device of a 1-D `data` mesh
+and the batch is sharded on its leading axis; XLA inserts the gradient
+all-reduce (psum) over ICI. Multi-host works with the same program via
+jax.distributed initialization (each host feeds its local shard).
+
+The mesh reserves room for more axes (seq/tensor) — the ASR models here
+fit comfortably on one chip, so data is the only axis populated, matching
+the reference's capability envelope (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh. n_data=0 → all visible devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data and n_data > 0:
+        devices = devices[:n_data]
+    return Mesh(np.array(devices), ("data",))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis across `data`."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch_dict(mesh: Mesh, arrays: dict) -> dict:
+    """device_put a dict of host arrays with the batch axis sharded."""
+    out = {}
+    for k, v in arrays.items():
+        if v is None:
+            out[k] = None
+        else:
+            out[k] = jax.device_put(v, batch_sharded(mesh, np.ndim(v)))
+    return out
+
+
+def check_divisible(batch_size: int, mesh: Mesh) -> None:
+    n = mesh.shape["data"]
+    if batch_size % n != 0:
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by the number of "
+            f"devices on the data axis ({n}) — same constraint as the "
+            f"reference's DataParallel (README.md:73)")

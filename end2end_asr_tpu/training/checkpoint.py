@@ -1,0 +1,118 @@
+"""Checkpoint save/load.
+
+Same logical contents as the reference's torch.save dict
+(utils/functions.py:11-59): vocab maps, full run config, epoch,
+model params, optimizer state (including Noam scalars _step/_rate/warmup/
+factor/model_size or lr/lr_anneal), and the metrics history — stored as
+`<name>.npz` (flattened param/opt pytrees) + `<name>.json` (everything
+else). Layout on disk matches the reference:
+  <save_folder>/<name>/epoch_<N>  and  <save_folder>/<name>/best_model
+(reference uses .th; we use .npz/.json pairs).
+
+A converter for the reference's torch .th checkpoints lives in
+tools/convert_reference_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from end2end_asr_tpu.config import Config
+
+SEP = "::"
+
+
+def flatten_tree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}{SEP}"))
+    elif tree is None:
+        pass
+    else:
+        out[prefix[:-len(SEP)]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    root: Dict = {}
+    for key, val in flat.items():
+        parts = key.split(SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def checkpoint_paths(save_folder: str, name: str, epoch: Optional[int],
+                     best: bool) -> str:
+    d = os.path.join(save_folder, name)
+    base = "best_model" if best else f"epoch_{epoch}"
+    return os.path.join(d, base)
+
+
+def save_checkpoint(base_path: str, cfg: Config, epoch: int,
+                    params, opt_state, model_state,
+                    label2id: Dict[str, int], id2label: Dict[int, str],
+                    metrics: Optional[Dict] = None) -> None:
+    os.makedirs(os.path.dirname(base_path), exist_ok=True)
+    arrays = {}
+    arrays.update({"params" + SEP + k: v
+                   for k, v in flatten_tree(params).items()})
+    arrays.update({"opt" + SEP + k: v
+                   for k, v in flatten_tree(opt_state).items()})
+    arrays.update({"state" + SEP + k: v
+                   for k, v in flatten_tree(model_state or {}).items()})
+    np.savez(base_path + ".npz", **arrays)
+    meta = {
+        "args": cfg.to_dict(),
+        "epoch": epoch,
+        "label2id": label2id,
+        "id2label": {str(k): v for k, v in id2label.items()},
+        "metrics": metrics or {},
+        "format_version": 1,
+    }
+    with open(base_path + ".json", "w", encoding="utf-8") as f:
+        json.dump(meta, f, ensure_ascii=False)
+
+
+def load_checkpoint(base_path: str):
+    """Returns (cfg, epoch, params, opt_state, model_state, label2id,
+    id2label, metrics). Accepts the path with or without extension."""
+    if base_path.endswith(".npz") or base_path.endswith(".json"):
+        base_path = base_path.rsplit(".", 1)[0]
+    with open(base_path + ".json", encoding="utf-8") as f:
+        meta = json.load(f)
+    data = np.load(base_path + ".npz")
+    groups: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "opt": {},
+                                                "state": {}}
+    for key in data.files:
+        g, rest = key.split(SEP, 1)
+        groups[g][rest] = data[key]
+    params = unflatten_tree(groups["params"])
+    opt_state = unflatten_tree(groups["opt"]) if groups["opt"] else None
+    model_state = unflatten_tree(groups["state"]) if groups["state"] else {}
+    cfg = Config.from_dict(meta["args"])
+    label2id = meta["label2id"]
+    id2label = {int(k): v for k, v in meta["id2label"].items()}
+    return (cfg, meta["epoch"], params, opt_state, model_state,
+            label2id, id2label, meta.get("metrics", {}))

@@ -1,0 +1,146 @@
+"""Jitted train / eval steps.
+
+The whole per-batch pipeline of the reference hot loop
+(trainer/asr/trainer.py:49-111) — device copy, forward, loss, backward,
+clip, Noam/Adam update — compiles into ONE donated XLA program per
+(src_bucket, tgt_bucket) shape, including on-device feature extraction
+from raw PCM (ops/features.py). Under a data mesh the same program runs
+SPMD with XLA-inserted gradient reductions (parallel/mesh.py).
+
+Reference behaviors preserved:
+  * Inf/NaN loss → the whole update is skipped (trainer.py:87-90) via
+    lax.cond (no host round-trip);
+  * optional clip_grad_norm_ before the step (trainer.py:108-109);
+  * CTC input_lengths = src_percentages * decoder length (trainer.py:81-82
+    — the reference's quirky recipe, reproduced for parity);
+  * teacher-forced argmax hyp/gold returned for train-CER logging
+    (transformer.py:80-82).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from end2end_asr_tpu.config import Config
+from end2end_asr_tpu.models.transformer import ModelDims, forward
+from end2end_asr_tpu.ops.features import batched_features
+from end2end_asr_tpu.training.loss import calculate_loss, token_accuracy
+from end2end_asr_tpu.training.optimizer import (NoamConfig, adam_noam_update,
+                                                clip_by_global_norm,
+                                                noam_rate)
+
+
+def noam_config_from(cfg: Config) -> NoamConfig:
+    # model_size = dim_input (incl. conv arithmetic) — reference quirk,
+    # utils/functions.py:101-107
+    return NoamConfig(model_size=cfg.conv_dim_input(), factor=cfg.k_lr,
+                      warmup=cfg.warmup, min_lr=cfg.min_lr)
+
+
+def _features_or_passthrough(cfg: Config, batch: Dict):
+    if batch.get("pcm") is not None:
+        return batched_features(
+            batch["pcm"], batch["n_frames"], cfg.n_fft, cfg.hop_length,
+            cfg.window, T_out=batch["spect_T"], normalize=True)
+    return batch["spect"]
+
+
+def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+    noam = noam_config_from(cfg)
+    smoothing = cfg.label_smoothing
+    loss_type = cfg.loss
+
+    @functools.partial(jax.jit, static_argnames=("spect_T",),
+                       donate_argnums=(0, 1))
+    def step(params, opt_state, model_state, rng,
+             pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
+        batch = ({"pcm": pcm_or_spect, "spect": None}
+                 if from_pcm else {"pcm": None, "spect": pcm_or_spect})
+        batch["n_frames"] = n_frames
+        batch["spect_T"] = spect_T
+
+        def loss_fn(p):
+            spect = _features_or_passthrough(cfg, batch)
+            pred, gold, new_state = forward(
+                p, model_state, spect, n_frames, targets, dims,
+                train=True, rng=rng)
+            U_out = pred.shape[1]
+            in_lens = (n_frames.astype(jnp.float32) / spect_T
+                       * U_out).astype(jnp.int32)
+            loss = calculate_loss(pred, gold, in_lens, tgt_lengths,
+                                  smoothing, loss_type)
+            return loss, (pred, gold, new_state)
+
+        (loss, (pred, gold, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+
+        def apply(_):
+            return adam_noam_update(params, grads, opt_state,
+                                    noam, clip=cfg.clip,
+                                    max_norm=cfg.max_norm)
+
+        def skip(_):
+            # Inf/NaN loss: skip the batch entirely (trainer.py:87-90)
+            return params, opt_state, noam_rate(opt_state["step"] + 1, noam)
+
+        finite = jnp.isfinite(loss)
+        new_params, new_opt, lr = jax.lax.cond(finite, apply, skip, None)
+
+        hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+        metrics = {
+            "loss": jnp.where(finite, loss, 0.0),
+            "finite": finite,
+            "lr": lr,
+            "num_correct": token_accuracy(pred, gold),
+            "num_token": jnp.sum(gold != 0),
+        }
+        return new_params, new_opt, new_state, metrics, hyp_seq, gold
+
+    return step
+
+
+def make_eval_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+    smoothing = cfg.label_smoothing
+    loss_type = cfg.loss
+
+    @functools.partial(jax.jit, static_argnames=("spect_T",))
+    def eval_step(params, model_state, pcm_or_spect, n_frames, targets,
+                  tgt_lengths, spect_T):
+        batch = ({"pcm": pcm_or_spect, "spect": None}
+                 if from_pcm else {"pcm": None, "spect": pcm_or_spect})
+        batch["n_frames"] = n_frames
+        batch["spect_T"] = spect_T
+        spect = _features_or_passthrough(cfg, batch)
+        pred, gold, _ = forward(params, model_state, spect, n_frames,
+                                targets, dims, train=False)
+        U_out = pred.shape[1]
+        in_lens = (n_frames.astype(jnp.float32) / spect_T
+                   * U_out).astype(jnp.int32)
+        loss = calculate_loss(pred, gold, in_lens, tgt_lengths,
+                              smoothing, loss_type)
+        hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+        return loss, hyp_seq, gold
+
+    return eval_step
+
+
+def make_encode_fn(cfg: Config, dims: ModelDims, from_pcm: bool):
+    """Jitted encode for decoding paths (greedy/beam)."""
+    from end2end_asr_tpu.models.transformer import encode
+
+    @functools.partial(jax.jit, static_argnames=("spect_T",))
+    def encode_fn(params, model_state, pcm_or_spect, n_frames, spect_T):
+        batch = ({"pcm": pcm_or_spect, "spect": None}
+                 if from_pcm else {"pcm": None, "spect": pcm_or_spect})
+        batch["n_frames"] = n_frames
+        batch["spect_T"] = spect_T
+        spect = _features_or_passthrough(cfg, batch)
+        enc_out, enc_lens, _ = encode(params, model_state, spect,
+                                      n_frames, dims, train=False)
+        return enc_out, enc_lens
+
+    return encode_fn

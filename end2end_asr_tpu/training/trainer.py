@@ -1,0 +1,244 @@
+"""Training loop.
+
+Behavioral contract with trainer/asr/trainer.py:21-213 of the reference:
+epoch loop → jitted batch step (steps.py) → running train loss/CER/WER/LR
+logging → per-epoch eval over every valid loader (teacher-forced loss +
+CER) → metrics history → checkpoint every `save_every` epochs + best-on-
+valid-loss → optional sampler shuffle.
+
+Differences (TPU-first, documented):
+  * the whole batch step (features→forward→loss→backward→update) is one
+    donated XLA program per bucket shape — no per-batch Python in the
+    device path;
+  * train-CER decode happens on host from the returned argmax ids, like
+    the reference (trainer.py:60-104), but can be throttled with
+    `metrics_every` since it is pure logging overhead;
+  * step-time and utterances/sec/chip counters (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from end2end_asr_tpu.config import (Config, EOS_CHAR, PAD_TOKEN, SOS_CHAR)
+from end2end_asr_tpu.data.loader import AudioBatchLoader, Batch, Prefetcher
+from end2end_asr_tpu.models.transformer import dims_from_config
+from end2end_asr_tpu.training import checkpoint as ckpt
+from end2end_asr_tpu.training.steps import make_eval_step, make_train_step
+from end2end_asr_tpu.utils.metrics import calculate_cer, calculate_wer
+
+logger = logging.getLogger("end2end_asr_tpu")
+
+
+def ids_to_string_until_pad(ids: np.ndarray, id2label: Dict[int, str]) -> str:
+    """Token ids → string, stopping at the first PAD (trainer.py:62-75)."""
+    s = ""
+    for x in ids:
+        if int(x) == PAD_TOKEN:
+            break
+        s += id2label.get(int(x), "")
+    return s
+
+
+def strip_specials(s: str) -> str:
+    return s.replace(SOS_CHAR, "").replace(EOS_CHAR, "")
+
+
+class Trainer:
+    def __init__(self, cfg: Config, label2id: Dict[str, int],
+                 id2label: Dict[int, str], metrics_every: int = 1,
+                 mesh=None):
+        self.cfg = cfg
+        self.label2id = label2id
+        self.id2label = id2label
+        self.dims = dims_from_config(cfg)
+        self.metrics_every = max(1, metrics_every)
+        # data-parallel mesh (parallel/mesh.py) — replaces --parallel/
+        # nn.DataParallel; params replicate, batches shard on 'data'
+        self.mesh = mesh
+        logger.info("Trainer is initialized")
+
+    # ------------------------------------------------------------------
+    def _batch_arrays(self, batch: Batch):
+        if batch.pcm is not None:
+            arr = batch.pcm
+            from_pcm = True
+        else:
+            arr = batch.spect
+            from_pcm = False
+        return from_pcm, arr
+
+    def _put_batch(self, *arrays):
+        """device_put batch-leading arrays, sharded on 'data' under a mesh."""
+        if self.mesh is None:
+            return arrays
+        from end2end_asr_tpu.parallel.mesh import batch_sharded
+        return tuple(
+            jax.device_put(a, batch_sharded(self.mesh, np.ndim(a)))
+            for a in arrays)
+
+    def _replicate(self, tree):
+        if self.mesh is None:
+            return tree
+        from end2end_asr_tpu.parallel.mesh import replicated
+        sharding = replicated(self.mesh)
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree)
+
+    def _accumulate_cer(self, hyp_seq, gold_seq, totals: Dict) -> None:
+        for hyp_row, gold_row in zip(np.asarray(hyp_seq), np.asarray(gold_seq)):
+            hyp = strip_specials(
+                ids_to_string_until_pad(hyp_row, self.id2label))
+            gold = strip_specials(
+                ids_to_string_until_pad(gold_row, self.id2label))
+            totals["cer"] += calculate_cer(hyp.replace(" ", ""),
+                                           gold.replace(" ", ""))
+            totals["wer"] += calculate_wer(hyp, gold)
+            totals["char"] += len(gold.replace(" ", ""))
+            totals["word"] += len(gold.split(" "))
+
+    # ------------------------------------------------------------------
+    def train(self, params, opt_state, model_state,
+              train_loader: AudioBatchLoader,
+              valid_loader_list: List[AudioBatchLoader],
+              start_epoch: int = 0,
+              num_epochs: Optional[int] = None,
+              last_metrics: Optional[Dict] = None,
+              prefetch: bool = True):
+        cfg = self.cfg
+        num_epochs = num_epochs if num_epochs is not None else cfg.epochs
+        history: List[Dict] = list(
+            (last_metrics or {}).get("history", []))
+        best_valid_loss = (last_metrics or {}).get("valid_loss", 1e9)
+        rng = jax.random.PRNGKey(cfg.seed)
+        params = self._replicate(params)
+        opt_state = self._replicate(opt_state)
+        model_state = self._replicate(model_state)
+
+        train_step = None  # built lazily on first batch (pcm vs spect)
+        eval_step = None
+
+        metrics: Dict = {}
+        for epoch in range(start_epoch, num_epochs):
+            sys.stdout.flush()
+            totals = {"loss": 0.0, "cer": 0, "wer": 0, "char": 1e-9,
+                      "word": 1e-9, "batches": 0, "utts": 0,
+                      "seconds": 0.0, "step_time": 0.0}
+            logger.info("TRAIN")
+            epoch_start = time.time()
+            lr = 0.0
+
+            iterator = Prefetcher(train_loader) if prefetch else train_loader
+            for i, batch in enumerate(iterator):
+                from_pcm, arr = self._batch_arrays(batch)
+                if train_step is None:
+                    train_step = make_train_step(cfg, self.dims, from_pcm)
+                    eval_step = make_eval_step(cfg, self.dims, from_pcm)
+                rng, sub = jax.random.split(rng)
+                arr, n_frames, targets, tgt_lengths = self._put_batch(
+                    arr, batch.n_frames, batch.targets, batch.tgt_lengths)
+                t0 = time.time()
+                (params, opt_state, model_state, m, hyp_seq, gold_seq
+                 ) = train_step(params, opt_state, model_state, sub, arr,
+                                n_frames, targets, tgt_lengths,
+                                spect_T=batch.src_bucket)
+                loss = float(m["loss"])
+                lr = float(m["lr"])
+                step_time = time.time() - t0
+                if not bool(m["finite"]):
+                    logger.info("Found infinity loss, masking")
+                totals["loss"] += loss
+                totals["batches"] += 1
+                totals["utts"] += batch.targets.shape[0]
+                totals["seconds"] += batch.utt_seconds
+                totals["step_time"] += step_time
+
+                if i % self.metrics_every == 0:
+                    self._accumulate_cer(hyp_seq, gold_seq, totals)
+                if i % 20 == 0:
+                    logger.info(
+                        "(Epoch %d) it %d TRAIN LOSS:%.4f CER:%.2f%% "
+                        "LR:%.7f utt/s:%.1f", epoch + 1, i,
+                        totals["loss"] / max(totals["batches"], 1),
+                        totals["cer"] * 100 / totals["char"], lr,
+                        totals["utts"] / max(totals["step_time"], 1e-9))
+
+            n_batches = max(totals["batches"], 1)
+            train_loss = totals["loss"] / n_batches
+            logger.info(
+                "(Epoch %d) TRAIN LOSS:%.4f CER:%.2f%% LR:%.7f "
+                "utt/s/chip:%.2f audio-RTFx:%.1f wall:%.1fs",
+                epoch + 1, train_loss, totals["cer"] * 100 / totals["char"],
+                lr, totals["utts"] / max(totals["step_time"], 1e-9),
+                totals["seconds"] / max(totals["step_time"], 1e-9),
+                time.time() - epoch_start)
+
+            # ---- validation (trainer.py:124-188) ----
+            logger.info("VALID")
+            valid_loss_last = 0.0
+            valid_cer_total, valid_wer_total = 0, 0
+            for ind, valid_loader in enumerate(valid_loader_list):
+                vtot = {"loss": 0.0, "cer": 0, "wer": 0, "char": 1e-9,
+                        "word": 1e-9, "batches": 0}
+                for batch in valid_loader:
+                    from_pcm, arr = self._batch_arrays(batch)
+                    if eval_step is None:
+                        eval_step = make_eval_step(cfg, self.dims, from_pcm)
+                    loss, hyp_seq, gold_seq = eval_step(
+                        params, model_state, arr, batch.n_frames,
+                        batch.targets, batch.tgt_lengths,
+                        spect_T=batch.src_bucket)
+                    loss = float(loss)
+                    if not np.isfinite(loss):
+                        logger.info("Found infinity loss, masking")
+                        continue
+                    vtot["loss"] += loss
+                    vtot["batches"] += 1
+                    self._accumulate_cer(hyp_seq, gold_seq, vtot)
+                vloss = vtot["loss"] / max(vtot["batches"], 1)
+                logger.info("VALID SET %d LOSS:%.4f CER:%.2f%%", ind,
+                            vloss, vtot["cer"] * 100 / vtot["char"])
+                valid_loss_last = vloss
+                valid_cer_total += vtot["cer"]
+                valid_wer_total += vtot["wer"]
+
+            metrics = {
+                "train_loss": train_loss,
+                "valid_loss": valid_loss_last,
+                "train_cer": totals["cer"],
+                "train_wer": totals["wer"],
+                "valid_cer": valid_cer_total,
+                "valid_wer": valid_wer_total,
+                "history": history,
+            }
+            history.append({k: v for k, v in metrics.items()
+                            if k != "history"})
+
+            if epoch % cfg.save_every == 0:
+                base = ckpt.checkpoint_paths(cfg.save_folder, cfg.name,
+                                             epoch + 1, best=False)
+                logger.info("SAVE MODEL to %s", base)
+                ckpt.save_checkpoint(base, cfg, epoch + 1, params, opt_state,
+                                     model_state, self.label2id,
+                                     self.id2label, metrics)
+
+            if valid_loader_list and best_valid_loss > valid_loss_last:
+                best_valid_loss = valid_loss_last
+                base = ckpt.checkpoint_paths(cfg.save_folder, cfg.name,
+                                             None, best=True)
+                logger.info("SAVE BEST MODEL to %s", base)
+                ckpt.save_checkpoint(base, cfg, epoch + 1, params, opt_state,
+                                     model_state, self.label2id,
+                                     self.id2label, metrics)
+
+            if cfg.shuffle:
+                logger.info("SHUFFLE")
+                train_loader.shuffle(epoch)
+
+        return params, opt_state, model_state, metrics

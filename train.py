@@ -1,0 +1,111 @@
+#!/usr/bin/env python3
+"""Training CLI — drop-in for the reference's train.py (same flags).
+
+Reference: train.py:20-116. Builds vocab (PAD/SOS/EOS prepended, duplicate
+labels warned), datasets/loaders for train + each valid manifest, resumes
+from --continue-from, then runs the Trainer. Logs to log/<name>.
+"""
+
+import functools
+import json
+import logging
+import os
+import sys
+
+import jax
+
+from end2end_asr_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+from end2end_asr_tpu.config import config_from_args, load_vocab
+from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector
+from end2end_asr_tpu.data.loader import AudioBatchLoader, BucketingSampler
+from end2end_asr_tpu.models.transformer import init_transformer
+from end2end_asr_tpu.parallel.mesh import check_divisible, make_mesh
+from end2end_asr_tpu.training.checkpoint import load_checkpoint
+from end2end_asr_tpu.training.optimizer import init_adam_state
+from end2end_asr_tpu.training.trainer import Trainer
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    print("=" * 50)
+    print("THE EXPERIMENT LOG IS SAVED IN: log/" + cfg.name)
+    print("TRAINING MANIFEST: ", list(cfg.train_manifest_list))
+    print("VALID MANIFEST: ", list(cfg.valid_manifest_list))
+    print("TEST MANIFEST: ", list(cfg.test_manifest_list))
+    print("=" * 50)
+
+    os.makedirs("log", exist_ok=True)
+    logging.basicConfig(filename="log/" + cfg.name, filemode="w+",
+                        format="%(asctime)s - %(message)s",
+                        level=logging.INFO)
+    logger = logging.getLogger("end2end_asr_tpu")
+    logger.setLevel(logging.INFO)
+
+    start_epoch = 0
+    metrics = None
+    if cfg.continue_from:
+        logger.info("Continue from checkpoint: %s", cfg.continue_from)
+        (ckpt_cfg, epoch, params, opt_state, model_state, label2id,
+         id2label, metrics) = load_checkpoint(cfg.continue_from)
+        # architecture/features come from the checkpoint (functions.py:72-78)
+        cfg = ckpt_cfg.replace(
+            train_manifest_list=cfg.train_manifest_list,
+            valid_manifest_list=cfg.valid_manifest_list,
+            test_manifest_list=cfg.test_manifest_list,
+            epochs=cfg.epochs, name=cfg.name, save_folder=cfg.save_folder,
+            batch_size=cfg.batch_size, parallel=cfg.parallel,
+            shuffle=cfg.shuffle, continue_from=cfg.continue_from)
+        start_epoch = epoch
+    else:
+        label2id, id2label = load_vocab(cfg.labels_path)
+        # duplicate-label warning parity (train.py:56-57)
+        with open(cfg.labels_path, encoding="utf-8") as f:
+            raw = str("".join(json.load(f)))
+        seen = set()
+        for ch in raw:
+            if ch in seen:
+                print("multiple label: ", ch)
+            seen.add(ch)
+        if cfg.model != "TRFS":
+            logger.info("The model is not supported, check args --h")
+            sys.exit(1)
+        params, model_state = jax.jit(functools.partial(
+            init_transformer, cfg=cfg, num_vocab=len(label2id)))(
+                jax.random.PRNGKey(cfg.seed))
+        opt_state = init_adam_state(params)
+
+    noise = (NoiseInjector(cfg.noise_dir, cfg.sample_rate,
+                           (cfg.noise_min, cfg.noise_max))
+             if cfg.noise_dir else None)
+    train_data = ManifestDataset(
+        list(cfg.train_manifest_list), label2id,
+        sample_rate=cfg.sample_rate, augment=cfg.augment,
+        noise_injector=noise, noise_prob=cfg.noise_prob)
+    train_loader = AudioBatchLoader(
+        train_data, cfg,
+        sampler=BucketingSampler(len(train_data), cfg.batch_size,
+                                 seed=cfg.seed))
+
+    valid_loader_list = []
+    for m in cfg.valid_manifest_list:
+        vd = ManifestDataset([m], label2id, sample_rate=cfg.sample_rate)
+        valid_loader_list.append(AudioBatchLoader(vd, cfg))
+
+    mesh = None
+    if cfg.parallel:
+        mesh = make_mesh(cfg.mesh_data)
+        check_divisible(cfg.batch_size, mesh)
+        logger.info("data-parallel mesh: %s", mesh)
+
+    trainer = Trainer(cfg, label2id, id2label)
+    trainer.mesh = mesh
+    trainer.train(params, opt_state, model_state, train_loader,
+                  valid_loader_list, start_epoch=start_epoch,
+                  num_epochs=cfg.epochs, last_metrics=metrics)
+
+
+if __name__ == "__main__":
+    main()
