@@ -42,11 +42,16 @@ def noam_config_from(cfg: Config) -> NoamConfig:
 
 
 def _features_or_passthrough(cfg: Config, batch: Dict):
-    if batch.get("pcm") is not None:
-        return batched_features(
-            batch["pcm"], batch["n_frames"], cfg.n_fft, cfg.hop_length,
-            cfg.window, T_out=batch["spect_T"], normalize=True)
-    return batch["spect"]
+    if batch.get("pcm") is None:
+        return batch["spect"]
+    from end2end_asr_tpu.ops.stft_pallas import (batched_features_pallas,
+                                                 pallas_supported)
+    use_pallas = (cfg.use_pallas_features
+                  and pallas_supported(cfg.n_fft, cfg.hop_length)
+                  and jax.default_backend() not in ("cpu",))
+    fn = batched_features_pallas if use_pallas else batched_features
+    return fn(batch["pcm"], batch["n_frames"], cfg.n_fft, cfg.hop_length,
+              cfg.window, T_out=batch["spect_T"], normalize=True)
 
 
 def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
