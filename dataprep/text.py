@@ -1,0 +1,112 @@
+"""Transcript cleaning + code-switch tagging for dataset prep.
+
+Behavioral contract with data/aishell.py:26-172 and data/helper.py of the
+reference: lowercase; strip bracketed hesitations; remove punctuation
+(zh + latin) and special symbols; collapse runs of spaces; contraction
+fix-ups; †/‡ language tags at language switches; Chinese words split to
+single chars.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+CHINESE_TAG = "†"
+ENGLISH_TAG = "‡"
+
+_PUNCT_RE = re.compile(
+    "[\\s+\\\\!\\/_,$%=^*?:@&^~`(+\"]+"
+    "|[+！，。？、~@#￥%……&*（）:;：；《）《》“”()»〔〕]+")
+_SPECIAL_RE = re.compile(
+    "[【】·．％°℃×→①ぃγ￣σς＝～•＋δ≤∶／⊥＿ñãíå∈△β［］±]+")
+_BRACKETS = [re.compile(p) for p in
+             (r"[\(\[].*?[\)\]]", r"[\{\[].*?[\}\]]",
+              r"[\<\[].*?[\>\]]", r"[【\[].*?[】\]]")]
+
+_CONTRACTION_FIXES = [
+    ("doens't", "doesn't"), ("o' clock", "o'clock"),
+    ("因为it's", "因为 it's"), ("it' s", "it's"), ("it ' s", "it's"),
+    ("y'", "y"), ("y ' ", "y"), ("看different", "看 different"),
+    ("it'self", "itself"), ("it'ss", "it's"), ("don'r", "don't"),
+    ("has't", "hasn't"), ("don'know", "don't know"),
+    ("i'll", "i will"), ("you're", "you are"),
+    ("'re ", " are "), ("'ll ", " will "), ("'ve ", " have "),
+    ("'re\n", " are\n"), ("'ll\n", " will\n"), ("'ve\n", " have\n"),
+]
+
+
+def collapse_spaces(seq: str) -> str:
+    return re.sub(" {2,}", " ", seq).strip()
+
+
+def remove_special_char(seq: str) -> str:
+    return _SPECIAL_RE.sub(" ", seq)
+
+
+def remove_punctuation(seq: str) -> str:
+    seq = _PUNCT_RE.sub(" ", seq)
+    for quote in ("'", "’", "＇", "`"):
+        seq = seq.replace(f" {quote} ", " ")
+    for quote in ("'", "’", "＇"):
+        seq = seq.replace(f" {quote}", quote)
+    for quote in ("’", "＇", "`"):
+        seq = seq.replace(f"{quote} ", " ")
+    seq = seq.replace(".", "").replace("`", "")
+    for ch in "-?:;][}{|_()=":
+        seq = seq.replace(ch, " ")
+    for a, b in _CONTRACTION_FIXES:
+        seq = seq.replace(a, b)
+    return collapse_spaces(seq)
+
+
+def preprocess(seq: str) -> str:
+    """Full cleaning pipeline (data/aishell.py:95-125)."""
+    seq = seq.lower()
+    for br in _BRACKETS:
+        seq = br.sub("", seq)
+    for ch in ("\x7f", "\x80", "\xa0", "#", ",", "*", "\n", "\r",
+               "\t", "~", "—"):
+        seq = seq.replace(ch, "")
+    seq = seq.replace("　", " ")
+    seq = re.sub(r"\<.*?\>", "", seq)
+    seq = re.sub(r"【.*?】", "", seq)
+    seq = remove_special_char(seq)
+    seq = collapse_spaces(seq)
+    seq = remove_punctuation(seq)
+    return collapse_spaces(seq)
+
+
+def is_chinese_char(cc: str) -> bool:
+    return unicodedata.category(cc) == "Lo"
+
+
+def is_contain_chinese_word(seq: str) -> bool:
+    return any(is_chinese_char(c) for c in seq)
+
+
+def add_lang(seq: str) -> str:
+    """Insert †/‡ tags at language switches (data/aishell.py:139-157)."""
+    out = ""
+    lang = 0
+    for word in seq.split(" "):
+        new_lang = 1 if is_contain_chinese_word(word) else 2
+        if lang != new_lang:
+            lang = new_lang
+            out += CHINESE_TAG if new_lang == 1 else ENGLISH_TAG
+        if out != "":
+            out += " "
+        out += word
+    return out
+
+
+def separate_chinese_chars(seq: str) -> str:
+    """Split Chinese words into single space-separated characters
+    (data/aishell.py:159-172)."""
+    parts = []
+    for word in seq.split(" "):
+        if is_contain_chinese_word(word):
+            parts.extend(word)
+        else:
+            parts.append(word)
+    return " ".join(parts)
