@@ -39,15 +39,17 @@ Params = Dict[str, object]
 def init_decoder(key, num_vocab: int, num_layers: int, num_heads: int,
                  dim_emb: int, dim_model: int, dim_inner: int,
                  dim_key: int, dim_value: int, trg_max_length: int = 1000,
-                 emb_trg_sharing: bool = False) -> Params:
+                 emb_trg_sharing: bool = False, rank: int = 0) -> Params:
     keys = jax.random.split(key, 2 + num_layers)
     layers_p = []
     for i in range(num_layers):
         ka, kc, kf = jax.random.split(keys[2 + i], 3)
         layers_p.append({
-            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key, dim_value),
-            "enc_attn": L.init_mha(kc, num_heads, dim_model, dim_key, dim_value),
-            "ffn": L.init_ffn(kf, dim_model, dim_inner),
+            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key,
+                                    dim_value, rank=rank),
+            "enc_attn": L.init_mha(kc, num_heads, dim_model, dim_key,
+                                   dim_value, rank=rank),
+            "ffn": L.init_ffn(kf, dim_model, dim_inner, rank=rank),
         })
     p: Params = {
         # nn.Embedding re-initialized xavier-uniform by the container

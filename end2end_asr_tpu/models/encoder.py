@@ -20,14 +20,16 @@ Params = Dict[str, object]
 
 def init_encoder(key, num_layers: int, num_heads: int, dim_model: int,
                  dim_key: int, dim_value: int, dim_input: int,
-                 dim_inner: int, src_max_length: int = 2500) -> Params:
+                 dim_inner: int, src_max_length: int = 2500,
+                 rank: int = 0) -> Params:
     keys = jax.random.split(key, 2 + num_layers)
     layers_p = []
     for i in range(num_layers):
         ka, kf = jax.random.split(keys[2 + i])
         layers_p.append({
-            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key, dim_value),
-            "ffn": L.init_ffn(kf, dim_model, dim_inner),
+            "self_attn": L.init_mha(ka, num_heads, dim_model, dim_key,
+                                    dim_value, rank=rank),
+            "ffn": L.init_ffn(kf, dim_model, dim_inner, rank=rank),
         })
     return {
         "input_linear": L.init_dense(keys[0], dim_input, dim_model),

@@ -51,20 +51,35 @@ def torch_bias_uniform(key, shape, fan_in: int, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def init_dense(key, d_in: int, d_out: int, bias: bool = True) -> Params:
+def init_dense(key, d_in: int, d_out: int, bias: bool = True,
+               rank: int = 0) -> Params:
+    """Dense params; rank > 0 builds a low-rank factorization W = U·V
+    (Low-Rank Transformer, Winata et al. ICASSP 2020 — the LRT variant in
+    BASELINE.json). `dense` dispatches on the param structure, so every
+    consumer (encoder/decoder/beam/greedy) runs either form unchanged."""
     kw, kb = jax.random.split(key)
-    p = {"w": xavier_uniform(kw, (d_in, d_out), d_in, d_out)}
+    if rank and rank > 0 and rank < min(d_in, d_out):
+        ku, kv = jax.random.split(kw)
+        p = {"u": xavier_uniform(ku, (d_in, rank), d_in, rank),
+             "v": xavier_uniform(kv, (rank, d_out), rank, d_out)}
+    else:
+        p = {"w": xavier_uniform(kw, (d_in, d_out), d_in, d_out)}
     if bias:
         p["b"] = torch_bias_uniform(kb, (d_out,), d_in)
     return p
 
 
 def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
-    w = p["w"]
     if dtype is not None:
         x = x.astype(dtype)
-        w = w.astype(dtype)
-    y = x @ w
+    if "u" in p:  # low-rank: two skinny MXU matmuls
+        u, v = p["u"], p["v"]
+        if dtype is not None:
+            u, v = u.astype(dtype), v.astype(dtype)
+        y = (x @ u) @ v
+    else:
+        w = p["w"] if dtype is None else p["w"].astype(dtype)
+        y = x @ w
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
@@ -153,13 +168,13 @@ def sinusoid_table(max_length: int, dim_model: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def init_mha(key, num_heads: int, dim_model: int, dim_key: int,
-             dim_value: int) -> Params:
+             dim_value: int, rank: int = 0) -> Params:
     kq, kk, kv, ko, kln = jax.random.split(key, 5)
     return {
-        "q": init_dense(kq, dim_model, num_heads * dim_key),
-        "k": init_dense(kk, dim_model, num_heads * dim_key),
-        "v": init_dense(kv, dim_model, num_heads * dim_value),
-        "out": init_dense(ko, num_heads * dim_value, dim_model),
+        "q": init_dense(kq, dim_model, num_heads * dim_key, rank=rank),
+        "k": init_dense(kk, dim_model, num_heads * dim_key, rank=rank),
+        "v": init_dense(kv, dim_model, num_heads * dim_value, rank=rank),
+        "out": init_dense(ko, num_heads * dim_value, dim_model, rank=rank),
         "ln": init_layer_norm(dim_model),
     }
 
@@ -206,13 +221,13 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
 # Position-wise FFN, conv-kernel-1 variant (common_layers.py:124-142)
 # ---------------------------------------------------------------------------
 
-def init_ffn(key, dim_model: int, dim_hidden: int) -> Params:
+def init_ffn(key, dim_model: int, dim_hidden: int, rank: int = 0) -> Params:
     k1, k2 = jax.random.split(key)
     return {
         # Conv1d(dim, hidden, 1) ≡ Dense(dim → hidden); torch conv weight is
         # (out, in, 1) with fan_in = in*1, so init math is identical.
-        "w1": init_dense(k1, dim_model, dim_hidden),
-        "w2": init_dense(k2, dim_hidden, dim_model),
+        "w1": init_dense(k1, dim_model, dim_hidden, rank=rank),
+        "w2": init_dense(k2, dim_hidden, dim_model, rank=rank),
         "ln": init_layer_norm(dim_model),
     }
 

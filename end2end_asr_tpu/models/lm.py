@@ -46,6 +46,64 @@ def lstm_forward(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
     return logits
 
 
+def init_lstm_params(key, ntoken: int, ninp: int, nhid: int,
+                     nlayers: int, tie_weights: bool = False) -> Dict:
+    """torch RNNModel init semantics (lstm_utils.py:179-183): embedding
+    and decoder U(-0.1, 0.1), decoder bias 0, LSTM weights torch default
+    U(-1/sqrt(H), 1/sqrt(H))."""
+    import math
+    keys = jax.random.split(key, 3 + 4 * nlayers)
+    emb = jax.random.uniform(keys[0], (ntoken, ninp), jnp.float32,
+                             -0.1, 0.1)
+    dec_w = (emb if tie_weights else
+             jax.random.uniform(keys[1], (ntoken, nhid), jnp.float32,
+                                -0.1, 0.1))
+    layers = []
+    bound = 1.0 / math.sqrt(nhid)
+    for i in range(nlayers):
+        d_in = ninp if i == 0 else nhid
+        ks = keys[3 + 4 * i: 7 + 4 * i]
+        layers.append({
+            "w_ih": jax.random.uniform(ks[0], (4 * nhid, d_in),
+                                       jnp.float32, -bound, bound),
+            "w_hh": jax.random.uniform(ks[1], (4 * nhid, nhid),
+                                       jnp.float32, -bound, bound),
+            "b_ih": jax.random.uniform(ks[2], (4 * nhid,),
+                                       jnp.float32, -bound, bound),
+            "b_hh": jax.random.uniform(ks[3], (4 * nhid,),
+                                       jnp.float32, -bound, bound),
+        })
+    return {"embedding": emb, "decoder_w": dec_w,
+            "decoder_b": jnp.zeros((ntoken,)), "layers": layers}
+
+
+def lstm_forward_batch(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
+    """tokens: (B, T) → logits (B, T, V) via one lax.scan over time."""
+    B, T = tokens.shape
+    x = params["embedding"][tokens]  # (B, T, ninp)
+    x = jnp.transpose(x, (1, 0, 2))  # (T, B, ninp)
+    for layer in params["layers"]:
+        W_ih, W_hh = layer["w_ih"], layer["w_hh"]
+        b = layer["b_ih"] + layer["b_hh"]
+        H = W_hh.shape[1]
+
+        def cell(carry, x_t):
+            h, c = carry
+            gates = x_t @ W_ih.T + h @ W_hh.T + b
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i, f, o = (jax.nn.sigmoid(i), jax.nn.sigmoid(f),
+                       jax.nn.sigmoid(o))
+            g = jnp.tanh(g)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
+        _, x = jax.lax.scan(cell, init, x)
+    logits = x @ params["decoder_w"].T + params["decoder_b"]
+    return jnp.transpose(logits, (1, 0, 2))  # (B, T, V)
+
+
 @jax.jit
 def _sequence_nll(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
     """Summed next-token cross-entropy: predicts tokens[1:] from

@@ -52,16 +52,18 @@ def init_transformer(key, cfg: Config, num_vocab: int) -> Tuple[Params, Params]:
     k_f, k_e, k_d = jax.random.split(key, 3)
     dim_input = cfg.conv_dim_input()
     fe_params, fe_state = F.init_frontend(k_f, cfg.feat_extractor)
+    # rank > 0 (or --model LRTRFS) = Low-Rank Transformer variant
+    rank = cfg.rank if cfg.model == "LRTRFS" or cfg.rank > 0 else 0
     params: Params = {
         "encoder": E.init_encoder(
             k_e, cfg.num_layers, cfg.num_heads, cfg.dim_model, cfg.dim_key,
             cfg.dim_value, dim_input, cfg.dim_inner,
-            src_max_length=cfg.src_max_len),
+            src_max_length=cfg.src_max_len, rank=rank),
         "decoder": D.init_decoder(
             k_d, num_vocab, cfg.num_layers, cfg.num_heads, cfg.dim_emb,
             cfg.dim_model, cfg.dim_inner, cfg.dim_key, cfg.dim_value,
             trg_max_length=cfg.tgt_max_len,
-            emb_trg_sharing=cfg.emb_trg_sharing),
+            emb_trg_sharing=cfg.emb_trg_sharing, rank=rank),
     }
     if fe_params is not None:
         params["frontend"] = fe_params

@@ -69,7 +69,7 @@ def main(argv=None):
             if ch in seen:
                 print("multiple label: ", ch)
             seen.add(ch)
-        if cfg.model != "TRFS":
+        if cfg.model not in ("TRFS", "LRTRFS"):
             logger.info("The model is not supported, check args --h")
             sys.exit(1)
         params, model_state = jax.jit(functools.partial(
