@@ -100,6 +100,48 @@ def add_lang(seq: str) -> str:
     return out
 
 
+_EMOJI_RE = re.compile(
+    "[" "\U0001F600-\U0001F64F"   # emoticons
+        "\U0001F300-\U0001F5FF"   # symbols & pictographs
+        "\U0001F680-\U0001F6FF"   # transport & map symbols
+        "\U0001F1E0-\U0001F1FF"   # flags
+    "]+", flags=re.UNICODE)
+
+
+def remove_emojis(seq: str) -> str:
+    """data/helper.py:171-187."""
+    return _EMOJI_RE.sub("", seq).strip()
+
+
+def merge_abbreviation(seq: str) -> str:
+    """Join consecutive dot-terminated tokens ("u. s. a." → "u.s.a.")
+    (data/helper.py:188-214)."""
+    words = [w for w in collapse_spaces(seq).split(" ") if w]
+    out, pending = [], ""
+    for w in words:
+        if w.endswith("."):
+            pending += w
+        else:
+            if pending:
+                out.append(pending)
+                pending = ""
+            out.append(w)
+    if pending:
+        out.append(pending)
+    return " ".join(out)
+
+
+def preprocess_mixed_language_sentence(seq: str) -> str:
+    """Clean a code-switched sentence: emoji/punct/special-char removal,
+    lowercase, abbreviation merge, space collapse (the non-tokenizing
+    path of data/helper.py:314-383; the StanfordCoreNLP-tokenized
+    variant is intentionally not reproduced — external java service)."""
+    seq = remove_emojis(seq)
+    seq = preprocess(seq)
+    seq = merge_abbreviation(seq)
+    return collapse_spaces(seq)
+
+
 def separate_chinese_chars(seq: str) -> str:
     """Split Chinese words into single space-separated characters
     (data/aishell.py:159-172)."""
