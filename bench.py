@@ -63,7 +63,10 @@ def main():
         params, opt_state, state, m, _, _ = step(
             params, opt_state, state, sub, pcm, n_frames, targets,
             tgt_lengths, spect_T=T_FRAMES)
-    jax.block_until_ready(m["loss"])
+    # NOTE: jax.block_until_ready does NOT block through this image's
+    # remote-TPU tunnel; a host read of the loss (which depends on the
+    # whole donated-param chain) is the only reliable sync.
+    float(m["loss"])
 
     t0 = time.time()
     for i in range(MEASURE_STEPS):
@@ -71,7 +74,7 @@ def main():
         params, opt_state, state, m, _, _ = step(
             params, opt_state, state, sub, pcm, n_frames, targets,
             tgt_lengths, spect_T=T_FRAMES)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # forces the full dependency chain
     dt = time.time() - t0
 
     n_chips = max(1, len(jax.devices()))
