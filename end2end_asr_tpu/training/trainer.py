@@ -134,31 +134,23 @@ class Trainer:
             epoch_start = time.time()
             lr = 0.0
 
-            iterator = Prefetcher(train_loader) if prefetch else train_loader
-            for i, batch in enumerate(iterator):
-                from_pcm, arr = self._batch_arrays(batch)
-                if train_step is None:
-                    train_step = make_train_step(cfg, self.dims, from_pcm)
-                    eval_step = make_eval_step(cfg, self.dims, from_pcm)
-                rng, sub = jax.random.split(rng)
-                arr, n_frames, targets, tgt_lengths = self._put_batch(
-                    arr, batch.n_frames, batch.targets, batch.tgt_lengths)
-                t0 = time.time()
-                (params, opt_state, model_state, m, hyp_seq, gold_seq
-                 ) = train_step(params, opt_state, model_state, sub, arr,
-                                n_frames, targets, tgt_lengths,
-                                spect_T=batch.src_bucket)
+            # Deferred metrics: host reads block on the device (and, on
+            # this image, pay a tunnel round trip), so metric pulls trail
+            # the dispatched step by `depth` iterations — the device
+            # pipeline never stalls on logging.
+            pending = []
+
+            def drain(entry, i):
+                nonlocal lr
+                m, hyp_seq, gold_seq, n_utts, secs = entry
                 loss = float(m["loss"])
                 lr = float(m["lr"])
-                step_time = time.time() - t0
                 if not bool(m["finite"]):
                     logger.info("Found infinity loss, masking")
                 totals["loss"] += loss
                 totals["batches"] += 1
-                totals["utts"] += batch.targets.shape[0]
-                totals["seconds"] += batch.utt_seconds
-                totals["step_time"] += step_time
-
+                totals["utts"] += n_utts
+                totals["seconds"] += secs
                 if i % self.metrics_every == 0:
                     self._accumulate_cer(hyp_seq, gold_seq, totals)
                 if i % 20 == 0:
@@ -167,7 +159,30 @@ class Trainer:
                         "LR:%.7f utt/s:%.1f", epoch + 1, i,
                         totals["loss"] / max(totals["batches"], 1),
                         totals["cer"] * 100 / totals["char"], lr,
-                        totals["utts"] / max(totals["step_time"], 1e-9))
+                        totals["utts"] / max(time.time() - t_epoch0, 1e-9))
+
+            iterator = Prefetcher(train_loader) if prefetch else train_loader
+            t_epoch0 = time.time()
+            i = -1
+            for i, batch in enumerate(iterator):
+                from_pcm, arr = self._batch_arrays(batch)
+                if train_step is None:
+                    train_step = make_train_step(cfg, self.dims, from_pcm)
+                    eval_step = make_eval_step(cfg, self.dims, from_pcm)
+                rng, sub = jax.random.split(rng)
+                arr, n_frames, targets, tgt_lengths = self._put_batch(
+                    arr, batch.n_frames, batch.targets, batch.tgt_lengths)
+                (params, opt_state, model_state, m, hyp_seq, gold_seq
+                 ) = train_step(params, opt_state, model_state, sub, arr,
+                                n_frames, targets, tgt_lengths,
+                                spect_T=batch.src_bucket)
+                pending.append((m, hyp_seq, gold_seq,
+                                batch.targets.shape[0], batch.utt_seconds))
+                if len(pending) > 2:
+                    drain(pending.pop(0), i - 2)
+            for j, entry in enumerate(pending):
+                drain(entry, max(i - len(pending) + 1 + j, 0))
+            totals["step_time"] += time.time() - t_epoch0
 
             n_batches = max(totals["batches"], 1)
             train_loss = totals["loss"] / n_batches
