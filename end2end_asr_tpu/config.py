@@ -123,6 +123,9 @@ class Config:
     # attention/FFN projection into rank-r pairs; 0 = full rank. Also
     # selectable via --model LRTRFS.
     rank: int = 0
+    # jax.checkpoint the encoder/decoder layer blocks: trades ~30% extra
+    # FLOPs for O(layers) less activation memory — enables bigger batches
+    remat: bool = False
     seed: int = 123456  # reference seeds torch with 123456 (constant.py:96)
     dtype: str = "bfloat16"  # compute dtype for matmuls; params stay f32
     decode_max_len: int = 300  # reference hardcodes 300 (transformer.py:332,423)
@@ -255,6 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     p.add_argument("--rank", default=0, type=int,
                    help="low-rank factorization rank (LRTRFS); 0 = full")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize transformer layers in backward")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument("--decode-max-len", default=300, type=int)

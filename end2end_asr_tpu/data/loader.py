@@ -157,16 +157,40 @@ class AudioBatchLoader:
 
 
 class Prefetcher:
-    """Thread-pool batch prefetcher: builds up to `depth` batches ahead."""
+    """Threaded batch prefetcher: builds up to `depth` batches ahead and
+    (optionally) device_puts them in the producer thread so the
+    host→device copy overlaps the previous step's compute."""
 
     def __init__(self, loader: AudioBatchLoader, depth: int = 2,
-                 num_workers: int = 2):
+                 num_workers: int = 2, to_device: bool = True,
+                 shardings=None):
         self.loader = loader
         self.depth = max(1, depth)
         self.num_workers = max(1, num_workers)
+        self.to_device = to_device
+        self.shardings = shardings  # optional dict field->sharding
 
     def __len__(self):
         return len(self.loader)
+
+    def _device_put(self, batch: Batch) -> Batch:
+        import dataclasses
+
+        import jax
+
+        def put(name, arr):
+            if arr is None:
+                return None
+            sh = (self.shardings or {}).get(name)
+            return jax.device_put(arr, sh) if sh else jax.device_put(arr)
+
+        return dataclasses.replace(
+            batch,
+            pcm=put("pcm", batch.pcm),
+            spect=put("spect", batch.spect),
+            n_frames=put("n_frames", batch.n_frames),
+            targets=put("targets", batch.targets),
+            tgt_lengths=put("tgt_lengths", batch.tgt_lengths))
 
     def __iter__(self) -> Iterator[Batch]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
@@ -175,6 +199,8 @@ class Prefetcher:
         def producer():
             try:
                 for batch in self.loader:
+                    if self.to_device:
+                        batch = self._device_put(batch)
                     q.put(batch)
             finally:
                 q.put(SENTINEL)

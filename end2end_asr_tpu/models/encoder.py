@@ -44,7 +44,8 @@ def init_encoder(key, num_layers: int, num_heads: int, dim_model: int,
 def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
                   num_heads: int, dim_key: int, dim_value: int,
                   dropout_rate: float = 0.1, deterministic: bool = True,
-                  rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+                  rng=None, dtype=jnp.bfloat16,
+                  remat: bool = False) -> jnp.ndarray:
     """x: (B, T, dim_input) post-frontend features; input_lengths: (B,).
 
     Masks follow reference semantics exactly: lengths >= T mask nothing
@@ -58,11 +59,7 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
                        .astype(jnp.float32))
     out = out + p["pe"][None, :T]
 
-    for lp in p["layers"]:
-        if rng is not None:
-            rng, r1, r2 = jax.random.split(rng, 3)
-        else:
-            r1 = r2 = None
+    def layer_fn(lp, out, non_pad, self_attn_mask, r1, r2):
         out = L.mha(lp["self_attn"], out, out, out,
                     num_heads, dim_key, dim_value, mask=self_attn_mask,
                     dropout_rate=dropout_rate, deterministic=deterministic,
@@ -70,5 +67,15 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
         out = out * non_pad
         out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
                     deterministic=deterministic, rng=r2, dtype=dtype)
-        out = out * non_pad
+        return out * non_pad
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    for lp in p["layers"]:
+        if rng is not None:
+            rng, r1, r2 = jax.random.split(rng, 3)
+        else:
+            r1 = r2 = None
+        out = layer_fn(lp, out, non_pad, self_attn_mask, r1, r2)
     return out

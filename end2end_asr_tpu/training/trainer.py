@@ -161,7 +161,20 @@ class Trainer:
                         totals["cer"] * 100 / totals["char"], lr,
                         totals["utts"] / max(time.time() - t_epoch0, 1e-9))
 
-            iterator = Prefetcher(train_loader) if prefetch else train_loader
+            if prefetch:
+                shardings = None
+                if self.mesh is not None:
+                    from end2end_asr_tpu.parallel.mesh import batch_sharded
+                    shardings = {
+                        "pcm": batch_sharded(self.mesh, 2),
+                        "spect": batch_sharded(self.mesh, 3),
+                        "n_frames": batch_sharded(self.mesh, 1),
+                        "targets": batch_sharded(self.mesh, 2),
+                        "tgt_lengths": batch_sharded(self.mesh, 1),
+                    }
+                iterator = Prefetcher(train_loader, shardings=shardings)
+            else:
+                iterator = train_loader
             t_epoch0 = time.time()
             i = -1
             for i, batch in enumerate(iterator):
