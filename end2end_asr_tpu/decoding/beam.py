@@ -100,8 +100,15 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         new_tokens = take_rows(tokens, parent)  # (B, W, L)
         new_tokens = new_tokens.at[:, :, t + 1].set(tok)
         flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(B * W)
-        new_cache = jax.tree_util.tree_map(
-            lambda c: c[flat_parent] if c.shape[0] == B * W else c, cache)
+        # only the self-attention K/V depend on the hypothesis prefix;
+        # cross K/V rows are identical across beams of an utterance
+        # (init from repeat(enc_out, W)), so parent-gathering them is a
+        # semantic no-op — skip it to halve the per-step gather bytes
+        new_cache = [
+            {"k_self": c["k_self"][flat_parent],
+             "v_self": c["v_self"][flat_parent],
+             "k_cross": c["k_cross"], "v_cross": c["v_cross"]}
+            for c in cache]
 
         parent_alive = take_rows(alive, parent)
         valid = parent_alive & (top_s > NEG / 2)
