@@ -29,13 +29,26 @@ def _strip(s: str) -> str:
 
 def evaluate(params, model_state, cfg: Config, test_loader,
              id2label: Dict[int, str], lm=None, label2id=None,
-             verbose: bool = False) -> Dict[str, float]:
+             verbose: bool = False, mesh=None) -> Dict[str, float]:
+    """Batch evaluation; under a mesh the encode/decode programs run SPMD
+    with the batch sharded on the data axis (params replicated)."""
+    import jax
+
     dims = dims_from_config(cfg)
     encode_fn = None
     beam = None
     if cfg.beam_search:
         from end2end_asr_tpu.decoding.beam import BeamDecoder
         beam = BeamDecoder(cfg, dims, id2label, lm=lm)
+
+    if mesh is not None:
+        from end2end_asr_tpu.parallel.mesh import batch_sharded, replicated
+        rep = replicated(mesh)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), params)
+        if model_state:
+            model_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), model_state)
 
     totals = dict(word=0, char=0, cer=0, wer=0,
                   en_cer=0, zh_cer=0, en_char=0, zh_char=0)
@@ -45,8 +58,12 @@ def evaluate(params, model_state, cfg: Config, test_loader,
         if encode_fn is None:
             encode_fn = make_encode_fn(cfg, dims, from_pcm)
         arr = batch.pcm if from_pcm else batch.spect
-        enc_out, enc_lens = encode_fn(params, model_state, arr,
-                                      batch.n_frames,
+        n_frames = batch.n_frames
+        if mesh is not None:
+            import numpy as _np
+            arr = jax.device_put(arr, batch_sharded(mesh, _np.ndim(arr)))
+            n_frames = jax.device_put(n_frames, batch_sharded(mesh, 1))
+        enc_out, enc_lens = encode_fn(params, model_state, arr, n_frames,
                                       spect_T=batch.src_bucket)
         golds = [_strip(ids_to_string_until_pad(row, id2label))
                  for row in np.asarray(batch.targets)]

@@ -22,6 +22,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host SPMD bring-up: call once per host before any jax op.
+    Reads the standard JAX cluster env (COORDINATOR_ADDRESS, NUM_PROCESSES,
+    PROCESS_ID) or the TPU-pod auto-detection. No-op when single-host or
+    already initialized. The same shard_map/pjit programs then span hosts,
+    with gradient psums riding ICI intra-pod and DCN across pods."""
+    import os
+
+    import jax
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
+            "JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
 def make_mesh(n_data: int = 0, devices=None) -> Mesh:
     """1-D data-parallel mesh. n_data=0 → all visible devices."""
     devices = devices if devices is not None else jax.devices()

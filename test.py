@@ -54,8 +54,15 @@ def main(argv=None):
         from end2end_asr_tpu.models.lm import LM
         lm = LM(cfg.lm_path)
 
+    mesh = None
+    if cli.parallel:
+        from end2end_asr_tpu.parallel.mesh import (check_divisible,
+                                                   make_mesh)
+        mesh = make_mesh(cli.mesh_data)
+        check_divisible(cfg.batch_size, mesh)
+
     results = evaluate(params, model_state, cfg, test_loader, id2label,
-                       lm=lm, verbose=cfg.verbose)
+                       lm=lm, verbose=cfg.verbose, mesh=mesh)
     print("TEST CER:{:.2f}% WER:{:.2f}% CER_EN:{:.2f}% CER_ZH:{:.2f}%".format(
         results["cer"], results["wer"], results["cer_en"],
         results["cer_zh"]))
