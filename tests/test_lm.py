@@ -89,3 +89,24 @@ def test_lm_train_cli_and_rescoring(tmp_path):
     assert num_words == 2  # "hello" → 1 word + 1
     empty_score, nw, ov = calculate_lm_score([1, 2], lm, id2label)
     assert (empty_score, nw, ov) == (-999.0, 0, 0)
+
+    # LM-rescored beam search end-to-end over a (random) acoustic model
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.decoding.beam import BeamDecoder
+    from end2end_asr_tpu.models.transformer import (dims_from_config,
+                                                    init_transformer)
+    cfg = Config(num_layers=1, num_heads=2, dim_model=32, dim_key=16,
+                 dim_value=16, dim_inner=64, dim_emb=32, feat_extractor="",
+                 dtype="float32", beam_width=3, lm_rescoring=True,
+                 lm_weight=0.5, c_weight=0.1)
+    params, _ = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=len(id2label)))(
+            jax.random.PRNGKey(0))
+    enc = jnp.asarray(np.random.RandomState(0).randn(2, 5, 32),
+                      jnp.float32)
+    dec = BeamDecoder(cfg, dims_from_config(cfg), id2label, lm=lm)
+    hyps = dec.decode(params, enc)
+    assert len(hyps) == 2
