@@ -37,7 +37,11 @@ def evaluate(params, model_state, cfg: Config, test_loader,
     dims = dims_from_config(cfg)
     encode_fn = None
     beam = None
-    if cfg.beam_search:
+    if cfg.beam_search or (cfg.lm_rescoring and lm is not None):
+        # --lm-rescoring without --beam-search: the reference's greedy
+        # LM branch (transformer.py:357-373) is a width-k rescored
+        # search over one utterance; the batched beam with the same
+        # width + LM final scoring is its well-defined equivalent.
         from end2end_asr_tpu.decoding.beam import BeamDecoder
         beam = BeamDecoder(cfg, dims, id2label, lm=lm)
 
