@@ -13,8 +13,6 @@ when the native lib hasn't been built.
 
 from __future__ import annotations
 
-import os
-import struct
 import wave
 from typing import Optional, Tuple
 

@@ -7,7 +7,7 @@ CER / WER / CER_EN / CER_ZH totals.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ sinusoidal positional encoding at the bottom (transformer.py:172-173).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

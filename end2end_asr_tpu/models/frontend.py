@@ -14,7 +14,6 @@ statistics and returns updated running stats (torch momentum 0.1 semantics).
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -24,7 +24,7 @@ jax.sharding and trivially checkpointable.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,7 @@ is only imported for conversion).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,9 +17,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

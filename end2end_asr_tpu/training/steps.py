@@ -20,7 +20,7 @@ Reference behaviors preserved:
 from __future__ import annotations
 
 import functools
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -29,9 +29,8 @@ from end2end_asr_tpu.config import Config
 from end2end_asr_tpu.models.transformer import ModelDims, forward
 from end2end_asr_tpu.ops.features import batched_features
 from end2end_asr_tpu.training.loss import calculate_loss, token_accuracy
-from end2end_asr_tpu.training.optimizer import (NoamConfig, adam_noam_update,
-                                                clip_by_global_norm,
-                                                noam_rate)
+from end2end_asr_tpu.training.optimizer import (NoamConfig,
+                                                adam_noam_update, noam_rate)
 
 
 def noam_config_from(cfg: Config) -> NoamConfig:
