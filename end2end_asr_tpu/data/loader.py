@@ -78,7 +78,8 @@ class AudioBatchLoader:
                  sampler: Optional[BucketingSampler] = None,
                  batch_size: Optional[int] = None,
                  host_features: bool = False,
-                 seed: int = 123456):
+                 seed: int = 123456,
+                 num_workers: Optional[int] = None):
         self.dataset = dataset
         self.cfg = cfg
         self.sampler = sampler or BucketingSampler(
@@ -86,6 +87,12 @@ class AudioBatchLoader:
         self.host_features = host_features
         self.epoch = 0
         self._seed = seed
+        # --num-workers: threads decoding utterances of a batch in
+        # parallel (the reference forks DataLoader worker processes;
+        # here WAV decode is native C++ that releases the GIL)
+        self.num_workers = (cfg.num_workers if num_workers is None
+                            else num_workers)
+        self._pool = None
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -100,11 +107,26 @@ class AudioBatchLoader:
         for bin_ids in self.sampler:
             yield self._build_batch(bin_ids, rng)
 
+    def _get_items(self, bin_ids: List[int], rng: np.random.RandomState):
+        if self.num_workers and self.num_workers > 1 and len(bin_ids) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            if self._pool is None:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+            # derive one deterministic sub-seed per utterance up front,
+            # then decode in parallel (unlike the reference's unseeded
+            # forked workers, results are reproducible for a given seed)
+            seeds = [rng.randint(0, 2 ** 31 - 1) for _ in bin_ids]
+            return list(self._pool.map(
+                lambda iv: self.dataset.get_item(
+                    iv[0], np.random.RandomState(iv[1])),
+                zip(bin_ids, seeds)))
+        return [self.dataset.get_item(i, rng) for i in bin_ids]
+
     def _build_batch(self, bin_ids: List[int],
                      rng: np.random.RandomState) -> Batch:
         cfg = self.cfg
         n_fft, hop = cfg.n_fft, cfg.hop_length
-        items = [self.dataset.get_item(i, rng) for i in bin_ids]
+        items = self._get_items(bin_ids, rng)
         pcms = [it[0] for it in items]
         transcripts = [it[1] for it in items]
 
