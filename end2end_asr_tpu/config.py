@@ -126,6 +126,9 @@ class Config:
     # jax.checkpoint the encoder/decoder layer blocks: trades ~30% extra
     # FLOPs for O(layers) less activation memory — enables bigger batches
     remat: bool = False
+    # resume from the newest epoch checkpoint of this run automatically
+    # (preemption recovery); --continue-from takes precedence
+    auto_resume: bool = False
     seed: int = 123456  # reference seeds torch with 123456 (constant.py:96)
     dtype: str = "bfloat16"  # compute dtype for matmuls; params stay f32
     decode_max_len: int = 300  # reference hardcodes 300 (transformer.py:332,423)
@@ -260,6 +263,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="low-rank factorization rank (LRTRFS); 0 = full")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backward")
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest epoch checkpoint of this "
+                        "run (preemption recovery)")
     p.add_argument("--seed", default=123456, type=int)
     p.add_argument("--dtype", default="bfloat16", type=str)
     p.add_argument("--decode-max-len", default=300, type=int)

@@ -62,6 +62,24 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
     return listify(root)
 
 
+def find_latest_checkpoint(save_folder: str, name: str) -> Optional[str]:
+    """Newest epoch_N checkpoint base path under <save_folder>/<name>,
+    or None. Used by train.py --auto-resume (preemption recovery)."""
+    import re
+    d = os.path.join(save_folder, name)
+    if not os.path.isdir(d):
+        return None
+    best, best_epoch = None, -1
+    for f in os.listdir(d):
+        m = re.fullmatch(r"epoch_(\d+)\.json", f)
+        if m and os.path.exists(os.path.join(d, f[:-5] + ".npz")):
+            e = int(m.group(1))
+            if e > best_epoch:
+                best_epoch = e
+                best = os.path.join(d, f[:-5])
+    return best
+
+
 def checkpoint_paths(save_folder: str, name: str, epoch: Optional[int],
                      best: bool) -> str:
     d = os.path.join(save_folder, name)

@@ -46,6 +46,14 @@ def main(argv=None):
 
     start_epoch = 0
     metrics = None
+    if cfg.auto_resume and not cfg.continue_from:
+        # preemption recovery (TPU-native nicety): resume from the newest
+        # checkpoint of this run if one exists
+        from end2end_asr_tpu.training.checkpoint import find_latest_checkpoint
+        latest = find_latest_checkpoint(cfg.save_folder, cfg.name)
+        if latest:
+            print("AUTO-RESUME from", latest)
+            cfg = cfg.replace(continue_from=latest)
     if cfg.continue_from:
         logger.info("Continue from checkpoint: %s", cfg.continue_from)
         (ckpt_cfg, epoch, params, opt_state, model_state, label2id,
