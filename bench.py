@@ -39,6 +39,8 @@ def main():
     import functools
     import jax
 
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from __graft_entry__ import _flagship_cfg, _synthetic_batch
     from end2end_asr_tpu.models.transformer import (dims_from_config,
                                                     init_transformer)

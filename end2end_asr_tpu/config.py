@@ -129,6 +129,10 @@ class Config:
     # resume from the newest epoch checkpoint of this run automatically
     # (preemption recovery); --continue-from takes precedence
     auto_resume: bool = False
+    # PRNG implementation for dropout streams: 'rbg' is ~7% faster per
+    # train step on TPU than the default threefry; both are deterministic
+    # per seed (streams differ between the two)
+    rng_impl: str = "rbg"
     seed: int = 123456  # reference seeds torch with 123456 (constant.py:96)
     dtype: str = "bfloat16"  # compute dtype for matmuls; params stay f32
     decode_max_len: int = 300  # reference hardcodes 300 (transformer.py:332,423)
@@ -263,6 +267,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="low-rank factorization rank (LRTRFS); 0 = full")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backward")
+    p.add_argument("--rng-impl", default="rbg",
+                   choices=["rbg", "threefry2x32"],
+                   help="PRNG for dropout (rbg is faster on TPU)")
     p.add_argument("--auto-resume", action="store_true",
                    help="resume from the newest epoch checkpoint of this "
                         "run (preemption recovery)")

@@ -79,8 +79,8 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         take = jax.vmap(lambda t, i: t[i])
         return take(all_t, top_i), top_s, take(all_l, top_i)
 
-    def step(carry, t):
-        tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+    def step(carry):
+        t, tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
         last = tokens[:, :, t].reshape(B * W)
         logits, cache = D.decode_step(
             dec, cache, last, t, dims.num_heads, dims.dim_key,
@@ -121,13 +121,20 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
             pool_t, pool_s, pool_l, new_tokens, end_s, end_l)
 
         new_scores = jnp.where(new_alive, top_s, NEG)
-        return (new_tokens, new_scores, new_alive, new_cache,
-                pool_t, pool_s, pool_l), None
+        return (t + 1, new_tokens, new_scores, new_alive, new_cache,
+                pool_t, pool_s, pool_l)
 
-    carry = (tokens, scores, alive, cache, pool_tokens, pool_scores,
-             pool_lens)
-    carry, _ = jax.lax.scan(step, carry, jnp.arange(n_steps))
-    tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+    def cond(carry):
+        # early exit once every hypothesis has retired (the reference
+        # breaks its Python loop the same way, transformer.py:494-496)
+        t = carry[0]
+        alive = carry[3]
+        return (t < n_steps) & jnp.any(alive)
+
+    carry = (jnp.int32(0), tokens, scores, alive, cache, pool_tokens,
+             pool_scores, pool_lens)
+    carry = jax.lax.while_loop(cond, step, carry)
+    _, tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
 
     if force_eos:
         # transformer.py:464-467: surviving hyps get EOS appended (no

@@ -29,25 +29,40 @@ from end2end_asr_tpu.models.transformer import ModelDims
 @functools.partial(jax.jit, static_argnames=("dims", "max_len"))
 def greedy_decode(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
                   max_len: int = 300) -> jnp.ndarray:
-    """enc_out: (B, T_enc, H). Returns generated ids (B, max_len)."""
+    """enc_out: (B, T_enc, H). Returns generated ids (B, max_len);
+    positions after each utterance's first EOS are filled with EOS.
+
+    A `lax.while_loop` exits as soon as every utterance has emitted EOS —
+    the reference (and a plain scan) always pays all 300 steps
+    (transformer.py:332); typical utterances finish in 20-50.
+    """
     B = enc_out.shape[0]
     dec = params["decoder"]
     cache = D.init_cache(dec, enc_out, max_len, dims.num_heads,
                          dims.dim_key, dims.dim_value, dtype=dims.dtype)
+    out = jnp.full((B, max_len), EOS_TOKEN, jnp.int32)
+    done = jnp.zeros((B,), bool)
+    token = jnp.full((B,), SOS_TOKEN, jnp.int32)
 
-    def step(carry, t):
-        token, cache = carry
+    def cond(state):
+        t, token, done, out, cache = state
+        return (t < max_len) & ~jnp.all(done)
+
+    def body(state):
+        t, token, done, out, cache = state
         logits, cache = D.decode_step(
             dec, cache, token, t, dims.num_heads, dims.dim_key,
             dims.dim_value, dims.dim_model,
             emb_trg_sharing=dims.emb_trg_sharing, dtype=dims.dtype)
         next_token = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (next_token, cache), next_token
+        next_token = jnp.where(done, EOS_TOKEN, next_token)
+        out = out.at[:, t].set(next_token)
+        done = done | (next_token == EOS_TOKEN)
+        return (t + 1, next_token, done, out, cache)
 
-    init_token = jnp.full((B,), SOS_TOKEN, jnp.int32)
-    (_, _), tokens = jax.lax.scan(step, (init_token, cache),
-                                  jnp.arange(max_len))
-    return tokens.T  # (B, max_len)
+    _, _, _, out, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), token, done, out, cache))
+    return out
 
 
 def ids_to_strings(ids, id2label: Dict[int, str]) -> List[str]:

@@ -30,6 +30,10 @@ from end2end_asr_tpu.training.trainer import Trainer
 
 def main(argv=None):
     cfg = config_from_args(argv)
+    try:
+        jax.config.update("jax_default_prng_impl", cfg.rng_impl)
+    except Exception:
+        pass  # keys already created (e.g. library use) — keep default
     print("=" * 50)
     print("THE EXPERIMENT LOG IS SAVED IN: log/" + cfg.name)
     print("TRAINING MANIFEST: ", list(cfg.train_manifest_list))
