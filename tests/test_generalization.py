@@ -120,3 +120,47 @@ def test_tone_language_generalization(tmp_path):
             total_char += len(gold)
     cer = total_cer / total_char * 100
     assert cer <= 5.0, (cer, final_loss)
+
+
+@pytest.mark.slow
+def test_vgg_frontend_trains(tmp_path):
+    """The conv path end-to-end: a small vgg_cnn model must overfit a
+    16-utterance tone corpus (loss well below the trivial floor and
+    teacher-forced accuracy high) — catches conv/BN/reshape wiring bugs
+    that forward-shape and parity tests can miss."""
+    rng = np.random.RandomState(3)
+    texts = ["".join(rng.choice(list(CHARS), 3)) for _ in range(16)]
+    manifest, labels = make_tone_corpus(str(tmp_path / "c"), texts, seed=5)
+    # smaller STFT (10ms window / 5ms hop → F=81) keeps CPU convs cheap
+    cfg = Config(
+        feat_extractor="vgg_cnn", window_size=0.01, window_stride=0.005,
+        num_layers=1, num_heads=2, dim_model=64, dim_key=16, dim_value=16,
+        dim_inner=128, dim_emb=64, batch_size=16, dropout=0.0,
+        src_max_len=128, tgt_max_len=8, warmup=10 ** 6, min_lr=2e-3,
+        src_buckets=(128,), tgt_buckets=(8,), dtype="float32")
+    assert cfg.conv_dim_input() == (81 // 2 // 2) * 128
+    label2id, id2label = load_vocab(labels)
+    dims = dims_from_config(cfg)
+    ds = ManifestDataset([manifest], label2id)
+    loader = AudioBatchLoader(ds, cfg, seed=11)
+    params, state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=len(label2id)))(
+            jax.random.PRNGKey(0))
+    opt = init_adam_state(params)
+    step = make_train_step(cfg, dims, from_pcm=True)
+    rng_j = jax.random.PRNGKey(2)
+
+    first_loss, acc = None, 0.0
+    for it in range(60):
+        for batch in loader:
+            rng_j, sub = jax.random.split(rng_j)
+            params, opt, state, m, hyp, gold = step(
+                params, opt, state, sub, batch.pcm, batch.n_frames,
+                batch.targets, batch.tgt_lengths, spect_T=batch.src_bucket)
+            if first_loss is None:
+                first_loss = float(m["loss"])
+            acc = float(m["num_correct"]) / float(m["num_token"])
+    assert float(m["loss"]) < first_loss * 0.5
+    # ceiling: the EOS-masked decoder position (1 of 6 gold tokens per
+    # utterance) gets uniform logits — max achievable accuracy is 5/6
+    assert acc >= 0.83, acc
