@@ -31,8 +31,8 @@ BATCH = 12
 T_FRAMES = 800   # ~8s at 10ms hop
 U_TGT = 48
 VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+WARMUP_STEPS = 5
+MEASURE_STEPS = 50
 
 
 def main():
