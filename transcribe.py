@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Single-command transcription: WAV file(s) in, text out.
+
+Convenience CLI on top of the framework (the reference only offers
+batch evaluation through manifests); loads a checkpoint, runs the
+on-device feature pipeline + greedy or beam decoding and prints one
+line per file:  <path>\t<transcript>
+
+Usage:
+  python transcribe.py --continue-from models/run/best_model a.wav b.wav
+                       [--beam-search --beam-width 8]
+                       [--lm-rescoring --lm-path lm.npz]
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+from end2end_asr_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Transcribe WAV files")
+    ap.add_argument("wavs", nargs="+")
+    ap.add_argument("--continue-from", required=True)
+    ap.add_argument("--beam-search", action="store_true")
+    ap.add_argument("--beam-width", type=int, default=8)
+    ap.add_argument("--lm-rescoring", action="store_true")
+    ap.add_argument("--lm-path", default="lm.npz")
+    ap.add_argument("--lm-weight", type=float, default=0.1)
+    ap.add_argument("--c-weight", type=float, default=0.1)
+    args = ap.parse_args(argv)
+
+    from end2end_asr_tpu.data.audio import load_audio
+    from end2end_asr_tpu.data.features import num_frames
+    from end2end_asr_tpu.data.loader import pick_bucket
+    from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+    from end2end_asr_tpu.models.transformer import dims_from_config
+    from end2end_asr_tpu.ops.features import reflect_pad_pcm
+    from end2end_asr_tpu.training.checkpoint import load_checkpoint
+    from end2end_asr_tpu.training.steps import make_encode_fn
+    from end2end_asr_tpu.training.trainer import strip_specials
+
+    (cfg, _, params, _, model_state, label2id, id2label, _
+     ) = load_checkpoint(args.continue_from)
+    cfg = cfg.replace(beam_search=args.beam_search,
+                      beam_width=args.beam_width,
+                      lm_rescoring=args.lm_rescoring,
+                      lm_path=args.lm_path, lm_weight=args.lm_weight,
+                      c_weight=args.c_weight)
+    dims = dims_from_config(cfg)
+    encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
+
+    lm = None
+    if cfg.lm_rescoring:
+        from end2end_asr_tpu.models.lm import LM
+        lm = LM(cfg.lm_path)
+    beam = None
+    if cfg.beam_search or lm is not None:
+        from end2end_asr_tpu.decoding.beam import BeamDecoder
+        beam = BeamDecoder(cfg, dims, id2label, lm=lm)
+
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    for path in args.wavs:
+        y = load_audio(path)
+        frames = min(num_frames(len(y), n_fft, hop), cfg.src_max_len)
+        T_b = min(pick_bucket(frames, cfg.src_buckets), cfg.src_max_len)
+        n_pcm = (T_b - 1) * hop
+        pcm = reflect_pad_pcm(y[:n_pcm], n_fft, n_pcm)[None, :]
+        enc_out, _ = encode_fn(params, model_state, pcm,
+                               np.array([frames], np.int32), spect_T=T_b)
+        if beam is not None:
+            text = beam.decode(params, enc_out)[0]
+        else:
+            ids = greedy_decode(params, enc_out, dims,
+                                max_len=min(cfg.decode_max_len,
+                                            cfg.tgt_max_len))
+            text = ids_to_strings(ids, id2label)[0]
+        print(f"{path}\t{strip_specials(text).strip()}")
+
+
+if __name__ == "__main__":
+    main()
