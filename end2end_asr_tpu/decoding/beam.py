@@ -105,9 +105,9 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         # (init from repeat(enc_out, W)), so parent-gathering them is a
         # semantic no-op — skip it to halve the per-step gather bytes
         new_cache = [
-            {"k_self": c["k_self"][flat_parent],
-             "v_self": c["v_self"][flat_parent],
-             "k_cross": c["k_cross"], "v_cross": c["v_cross"]}
+            {**c,
+             "k_self": c["k_self"][flat_parent],
+             "v_self": c["v_self"][flat_parent]}
             for c in cache]
 
         parent_alive = take_rows(alive, parent)

@@ -169,25 +169,47 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
 # each of 300 steps, transformer.py:332-348; exact with dropout off)
 # ---------------------------------------------------------------------------
 
+def fused_qkv_weights(p: Params, dtype=jnp.bfloat16):
+    """Per-layer fused self-attention projection [Wq‖Wk‖Wv] so the decode
+    step issues ONE matmul instead of three — the step is latency-bound on
+    op count, not FLOPs. Skipped for low-rank params (separate factors)."""
+    fused = []
+    for lp in p["layers"]:
+        sa = lp["self_attn"]
+        if "w" not in sa["q"]:
+            fused.append(None)
+            continue
+        w = jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]],
+                            axis=1).astype(dtype)
+        b = jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]])
+        fused.append({"w": w, "b": b})
+    return fused
+
+
 def init_cache(p: Params, enc_out: jnp.ndarray, max_len: int,
                num_heads: int, dim_key: int, dim_value: int,
                dtype=jnp.bfloat16) -> List[Dict[str, jnp.ndarray]]:
-    """Precompute per-layer cross K/V from encoder output and allocate
-    self-attention K/V rings. enc_out: (B, T_enc, H)."""
+    """Precompute per-layer cross K/V from encoder output, fused self-attn
+    QKV weights, and allocate self-attention K/V rings.
+    enc_out: (B, T_enc, H)."""
     B = enc_out.shape[0]
     T_enc = enc_out.shape[1]
+    fused = fused_qkv_weights(p, dtype)
     cache = []
-    for lp in p["layers"]:
+    for lp, wqkv in zip(p["layers"], fused):
         k_cross = L.dense(lp["enc_attn"]["k"], enc_out, dtype).reshape(
             B, T_enc, num_heads, dim_key)
         v_cross = L.dense(lp["enc_attn"]["v"], enc_out, dtype).reshape(
             B, T_enc, num_heads, dim_value)
-        cache.append({
+        entry = {
             "k_self": jnp.zeros((B, max_len, num_heads, dim_key), dtype),
             "v_self": jnp.zeros((B, max_len, num_heads, dim_value), dtype),
             "k_cross": k_cross,
             "v_cross": v_cross,
-        })
+        }
+        if wqkv is not None:
+            entry["wqkv"] = wqkv
+        cache.append(entry)
     return cache
 
 
@@ -214,13 +236,20 @@ def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
     scale = logit_scale(dim_model, emb_trg_sharing)
     x = p["embedding"][token] * scale + p["pe"][t]  # (B, H)
 
+    nk = num_heads * dim_key
     new_cache = []
     for lp, c in zip(p["layers"], cache):
         residual = x
         sa = lp["self_attn"]
-        q = L.dense(sa["q"], x, dtype).reshape(B, num_heads, dim_key)
-        k_t = L.dense(sa["k"], x, dtype).reshape(B, num_heads, dim_key)
-        v_t = L.dense(sa["v"], x, dtype).reshape(B, num_heads, dim_value)
+        if "wqkv" in c:
+            qkv = L.dense(c["wqkv"], x, dtype)  # (B, 2*nk + nh*dv)
+            q = qkv[:, :nk].reshape(B, num_heads, dim_key)
+            k_t = qkv[:, nk:2 * nk].reshape(B, num_heads, dim_key)
+            v_t = qkv[:, 2 * nk:].reshape(B, num_heads, dim_value)
+        else:
+            q = L.dense(sa["q"], x, dtype).reshape(B, num_heads, dim_key)
+            k_t = L.dense(sa["k"], x, dtype).reshape(B, num_heads, dim_key)
+            v_t = L.dense(sa["v"], x, dtype).reshape(B, num_heads, dim_value)
         k_self = jax.lax.dynamic_update_index_in_dim(c["k_self"], k_t, t, 1)
         v_self = jax.lax.dynamic_update_index_in_dim(c["v_self"], v_t, t, 1)
         valid = (jnp.arange(k_self.shape[1])[None, :] <= t)
@@ -244,8 +273,7 @@ def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
         h = L.dense(fp["w2"], h, dtype).astype(jnp.float32)
         x = L.layer_norm(fp["ln"], h + residual)
 
-        new_cache.append({"k_self": k_self, "v_self": v_self,
-                          "k_cross": c["k_cross"], "v_cross": c["v_cross"]})
+        new_cache.append({**c, "k_self": k_self, "v_self": v_self})
 
     logits = output_logits(p, x, dtype)  # (B, V)
     return logits, new_cache
