@@ -13,7 +13,11 @@ import os
 
 def honor_env_platform() -> None:
     env = os.environ.get("JAX_PLATFORMS")
-    if not env:
+    # Only re-assert builtin platform names (the CPU dry-run/test case).
+    # Plugin platforms (e.g. this image's 'axon') may be registered by
+    # sitecustomize under a different backend name — re-setting the raw
+    # env value breaks their resolution, so leave them alone.
+    if env not in ("cpu", "tpu", "gpu"):
         return
     try:
         import jax
