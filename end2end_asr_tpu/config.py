@@ -133,6 +133,13 @@ class Config:
     # train step on TPU than the default threefry; both are deterministic
     # per seed (streams differ between the two)
     rng_impl: str = "rbg"
+    # SpecAugment (beyond the reference's tempo/gain/noise): on-device
+    # frequency/time masking inside the train step
+    spec_augment: bool = False
+    freq_mask_width: int = 27
+    n_freq_masks: int = 2
+    time_mask_width: int = 100
+    n_time_masks: int = 2
     seed: int = 123456  # reference seeds torch with 123456 (constant.py:96)
     dtype: str = "bfloat16"  # compute dtype for matmuls; params stay f32
     decode_max_len: int = 300  # reference hardcodes 300 (transformer.py:332,423)
@@ -267,6 +274,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="low-rank factorization rank (LRTRFS); 0 = full")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backward")
+    p.add_argument("--spec-augment", action="store_true",
+                   help="SpecAugment freq/time masking on device")
+    p.add_argument("--freq-mask-width", default=27, type=int)
+    p.add_argument("--n-freq-masks", default=2, type=int)
+    p.add_argument("--time-mask-width", default=100, type=int)
+    p.add_argument("--n-time-masks", default=2, type=int)
     p.add_argument("--rng-impl", default="rbg",
                    choices=["rbg", "threefry2x32"],
                    help="PRNG for dropout (rbg is faster on TPU)")

@@ -69,9 +69,20 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
 
         def loss_fn(p):
             spect = _features_or_passthrough(cfg, batch)
+            if cfg.spec_augment:
+                from end2end_asr_tpu.ops.specaugment import apply_spec_augment
+                sa_rng, fwd_rng = jax.random.split(rng)
+                spect = apply_spec_augment(
+                    sa_rng, spect, n_frames,
+                    n_freq_masks=cfg.n_freq_masks,
+                    freq_width=cfg.freq_mask_width,
+                    n_time_masks=cfg.n_time_masks,
+                    time_width=cfg.time_mask_width)
+            else:
+                fwd_rng = rng
             pred, gold, new_state = forward(
                 p, model_state, spect, n_frames, targets, dims,
-                train=True, rng=rng)
+                train=True, rng=fwd_rng)
             U_out = pred.shape[1]
             in_lens = (n_frames.astype(jnp.float32) / spect_T
                        * U_out).astype(jnp.int32)
