@@ -218,9 +218,12 @@ class Trainer:
                     from_pcm, arr = self._batch_arrays(batch)
                     if eval_step is None:
                         eval_step = make_eval_step(cfg, self.dims, from_pcm)
+                    arr, n_frames, targets, tgt_lengths = self._put_batch(
+                        arr, batch.n_frames, batch.targets,
+                        batch.tgt_lengths)
                     loss, hyp_seq, gold_seq = eval_step(
-                        params, model_state, arr, batch.n_frames,
-                        batch.targets, batch.tgt_lengths,
+                        params, model_state, arr, n_frames,
+                        targets, tgt_lengths,
                         spect_T=batch.src_bucket)
                     loss = float(loss)
                     if not np.isfinite(loss):
