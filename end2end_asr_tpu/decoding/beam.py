@@ -197,7 +197,8 @@ class BeamDecoder:
         cfg = self.cfg
         nbest = nbest or 1
         B, T_enc = enc_out.shape[0], enc_out.shape[1]
-        n_steps = min(cfg.decode_max_len, T_enc)
+        # tgt_max_len bounds the positional table (decoder.py pe)
+        n_steps = min(cfg.decode_max_len, T_enc, cfg.tgt_max_len - 1)
         force = T_enc <= cfg.decode_max_len
         pool_t, pool_s, pool_l = beam_search_device(
             params, enc_out, self.dims, cfg.beam_width, n_steps, force)

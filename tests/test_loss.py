@@ -90,6 +90,37 @@ def test_ctc_matches_torch(seed):
     assert abs(ours - ref) < 1e-4
 
 
+def test_ctc_train_step_runs():
+    """--loss ctc end-to-end: gradients flow through the scan-based CTC
+    (the reference wires CTC through the same decoder outputs,
+    trainer.py:81-85)."""
+    import functools
+    import jax
+
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.models.transformer import (dims_from_config,
+                                                    init_transformer)
+    from end2end_asr_tpu.training.optimizer import init_adam_state
+    from end2end_asr_tpu.training.steps import make_train_step
+
+    cfg = Config(num_layers=1, num_heads=2, dim_model=32, dim_key=16,
+                 dim_value=16, dim_inner=64, dim_emb=32, feat_extractor="",
+                 dim_input=161, dtype="float32", loss="ctc")
+    params, state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=16))(jax.random.PRNGKey(0))
+    opt = init_adam_state(params)
+    step = make_train_step(cfg, dims_from_config(cfg), from_pcm=False)
+    spect = np.random.RandomState(0).randn(2, 161, 64).astype(np.float32)
+    tg = np.array([[1, 5, 6, 7, 2, 0, 0, 0]] * 2, np.int32)
+    p2, o2, s2, m, _, _ = step(params, opt, state, jax.random.PRNGKey(1),
+                               spect, np.array([64, 64], np.int32), tg,
+                               np.array([5, 5], np.int32), spect_T=64)
+    assert np.isfinite(float(m["loss"]))
+    # params actually changed
+    a = jax.tree_util.tree_leaves(p2)[0]
+    assert np.isfinite(np.asarray(a)).all()
+
+
 def test_ctc_repeated_labels():
     # repeated labels exercise the no-skip rule (z_s == z_{s-2})
     rng = np.random.RandomState(7)
