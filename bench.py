@@ -13,9 +13,11 @@ loop does per batch (trainer/asr/trainer.py:49-111).
 vs_baseline compares against an ESTIMATED A100 PyTorch reference
 throughput for the same config (the reference publishes no throughput —
 SURVEY.md §6; BASELINE.json's north star is ≥5× an A100 baseline).
-Estimate: batch 12 / ~0.35 s per optimizer step on A100 for this
-4-layer/512-dim model with DataLoader-side STFT ≈ 34 utt/s. Revisit when
-a measured number exists.
+Estimate: the reference is torch-1.4-era fp32 with no AMP; the step is
+~1.2 TFLOP (fwd+bwd, XLA count × 3) against A100's 19.5 TFLOP/s dense
+fp32 at a generous 35% utilization → ~0.18 s/step → ~65 utt/s at batch
+12 (DataLoader-side librosa STFT roughly keeps up with 4 workers).
+Revisit when a measured number exists.
 
 Prints ONE JSON line.
 """
@@ -25,7 +27,7 @@ import time
 
 import numpy as np
 
-A100_BASELINE_UTTS_PER_SEC = 34.0  # documented estimate, see module docstring
+A100_BASELINE_UTTS_PER_SEC = 65.0  # documented estimate, see module docstring
 
 BATCH = 12
 T_FRAMES = 800   # ~8s at 10ms hop
