@@ -130,6 +130,27 @@ def test_conv_dim_input_arithmetic():
     assert cfg.conv_dim_input() == 161
 
 
+def test_emb_cnn_train_step_updates_bn_state():
+    """emb_cnn path end-to-end: one train step runs, loss finite, and the
+    BatchNorm running stats actually move (functional BN plumbing)."""
+    from end2end_asr_tpu.training.optimizer import init_adam_state
+    from end2end_asr_tpu.training.steps import make_train_step
+
+    cfg = CFG_MINI.replace(feat_extractor="emb_cnn")
+    params, state = _init_jit(cfg, 40)
+    opt = init_adam_state(params)
+    step = make_train_step(cfg, dims_from_config(cfg), from_pcm=False)
+    spect = np.random.RandomState(0).randn(2, 161, 80).astype(np.float32)
+    tgt = np.array([[SOS_TOKEN, 5, 6, EOS_TOKEN, 0, 0]] * 2, np.int32)
+    before = np.asarray(state["frontend"]["bn1"]["mean"]).copy()
+    p2, o2, s2, m, _, _ = step(params, opt, state, jax.random.PRNGKey(1),
+                               spect, np.array([80, 60], np.int32), tgt,
+                               np.array([4, 4], np.int32), spect_T=80)
+    assert np.isfinite(float(m["loss"]))
+    after = np.asarray(s2["frontend"]["bn1"]["mean"])
+    assert not np.allclose(before, after)
+
+
 def test_vgg_frontend_output_dim():
     cfg = CFG_MINI.replace(feat_extractor="vgg_cnn")
     params, state = _init_jit(cfg, 40)
