@@ -35,6 +35,7 @@ class ModelDims(NamedTuple):
     feat_extractor: str
     dtype: object
     ref_compat_masks: bool
+    remat: bool = False
 
 
 def dims_from_config(cfg: Config) -> ModelDims:
@@ -43,7 +44,7 @@ def dims_from_config(cfg: Config) -> ModelDims:
         dim_model=cfg.dim_model, emb_trg_sharing=cfg.emb_trg_sharing,
         dropout=cfg.dropout, feat_extractor=cfg.feat_extractor,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
-        ref_compat_masks=cfg.ref_compat_masks)
+        ref_compat_masks=cfg.ref_compat_masks, remat=cfg.remat)
 
 
 def init_transformer(key, cfg: Config, num_vocab: int) -> Tuple[Params, Params]:
@@ -103,7 +104,7 @@ def encode(params: Params, state: Params, spect: jnp.ndarray,
         params["encoder"], feats, enc_lens,
         dims.num_heads, dims.dim_key, dims.dim_value,
         dropout_rate=dims.dropout, deterministic=not train,
-        rng=sub, dtype=dims.dtype)
+        rng=sub, dtype=dims.dtype, remat=dims.remat and train)
     new_state = dict(state or {})
     if new_fe_state is not None and new_fe_state != {}:
         new_state["frontend"] = new_fe_state

@@ -130,6 +130,26 @@ def test_conv_dim_input_arithmetic():
     assert cfg.conv_dim_input() == 161
 
 
+def test_remat_train_step_matches_no_remat():
+    """--remat: rematerialized layers give identical losses/updates."""
+    from end2end_asr_tpu.training.optimizer import init_adam_state
+    from end2end_asr_tpu.training.steps import make_train_step
+
+    spect = np.random.RandomState(0).randn(2, 161, 50).astype(np.float32)
+    tgt = np.array([[SOS_TOKEN, 5, 6, EOS_TOKEN, 0, 0]] * 2, np.int32)
+    losses = []
+    for remat in (False, True):
+        cfg = CFG_MINI.replace(remat=remat, dropout=0.0)
+        params, state = _init_jit(cfg, 40)
+        opt = init_adam_state(params)
+        step = make_train_step(cfg, dims_from_config(cfg), from_pcm=False)
+        _, _, _, m, _, _ = step(params, opt, state, jax.random.PRNGKey(1),
+                                spect, np.array([50, 40], np.int32), tgt,
+                                np.array([4, 4], np.int32), spect_T=50)
+        losses.append(float(m["loss"]))
+    assert abs(losses[0] - losses[1]) < 1e-5, losses
+
+
 def test_emb_cnn_train_step_updates_bn_state():
     """emb_cnn path end-to-end: one train step runs, loss finite, and the
     BatchNorm running stats actually move (functional BN plumbing)."""
