@@ -133,6 +133,9 @@ class Config:
     # train step on TPU than the default threefry; both are deterministic
     # per seed (streams differ between the two)
     rng_impl: str = "rbg"
+    # compute host-side train CER/WER every Nth batch (the reference's
+    # per-batch argmax→string loop is pure logging overhead, SURVEY §7)
+    metrics_every: int = 1
     # SpecAugment (beyond the reference's tempo/gain/noise): on-device
     # frequency/time masking inside the train step
     spec_augment: bool = False
@@ -274,6 +277,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="low-rank factorization rank (LRTRFS); 0 = full")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backward")
+    p.add_argument("--metrics-every", default=1, type=int,
+                   help="host-side train CER/WER every Nth batch")
     p.add_argument("--spec-augment", action="store_true",
                    help="SpecAugment freq/time masking on device")
     p.add_argument("--freq-mask-width", default=27, type=int)

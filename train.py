@@ -112,7 +112,8 @@ def main(argv=None):
         check_divisible(cfg.batch_size, mesh)
         logger.info("data-parallel mesh: %s", mesh)
 
-    trainer = Trainer(cfg, label2id, id2label)
+    trainer = Trainer(cfg, label2id, id2label,
+                      metrics_every=cfg.metrics_every)
     trainer.mesh = mesh
     trainer.train(params, opt_state, model_state, train_loader,
                   valid_loader_list, start_epoch=start_epoch,
