@@ -158,6 +158,9 @@ class Config:
     # properly subsampled lengths (recommended for new models).
     ref_compat_masks: bool = True
     use_pallas_features: bool = True  # fused on-device feature kernel
+    # capture a jax.profiler trace of the first training epoch into this
+    # directory (view with TensorBoard/xprof); empty = off
+    trace_dir: str = ""
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -302,6 +305,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the reference's raw-length (no-op) masks")
     p.add_argument("--no-pallas-features", dest="use_pallas_features",
                    action="store_false")
+    p.add_argument("--trace-dir", default="", type=str,
+                   help="capture a jax.profiler trace of the first epoch "
+                        "into this directory")
     return p
 
 

@@ -64,6 +64,14 @@ def save_wav(path: str, y: np.ndarray, sample_rate: int) -> None:
         w.writeframes(y16.tobytes())
 
 
+def get_num_samples(path: str) -> int:
+    """Exact PCM frame count from the WAV header (no decode). Used by the
+    multi-host loader to agree on bucket shapes across processes without
+    decoding remote shards."""
+    with wave.open(path, "rb") as w:
+        return w.getnframes()
+
+
 def get_audio_length(path: str) -> float:
     """Duration in seconds (replaces the soxi -D subprocess,
     utils/audio.py:17-20)."""

@@ -79,7 +79,9 @@ class AudioBatchLoader:
                  batch_size: Optional[int] = None,
                  host_features: bool = False,
                  seed: int = 123456,
-                 num_workers: Optional[int] = None):
+                 num_workers: Optional[int] = None,
+                 process_index: int = 0,
+                 process_count: int = 1):
         self.dataset = dataset
         self.cfg = cfg
         self.sampler = sampler or BucketingSampler(
@@ -93,6 +95,13 @@ class AudioBatchLoader:
         self.num_workers = (cfg.num_workers if num_workers is None
                             else num_workers)
         self._pool = None
+        # multi-host SPMD: every process runs the SAME sampler (same seed)
+        # but decodes only its 1/process_count slice of each bin; bucket
+        # shapes are derived from WAV headers + transcripts of the FULL
+        # bin so all processes build identically-shaped local shards
+        # (assembled by parallel.mesh.put_sharded)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -122,23 +131,61 @@ class AudioBatchLoader:
                 zip(bin_ids, seeds)))
         return [self.dataset.get_item(i, rng) for i in bin_ids]
 
+    def _global_buckets(self, bin_ids: List[int]) -> tuple:
+        """(T_b, U_b) for a bin, from WAV headers + transcript files only
+        (no audio decode) — deterministic across hosts. Tempo augmentation
+        can stretch audio by up to 1/0.85 (audio.py), so the frame bound
+        is scaled; joint training picks a random manifest per row, so the
+        bound covers every manifest's candidate at each index."""
+        cfg = self.cfg
+        from end2end_asr_tpu.data.audio import get_num_samples
+        max_frames, max_u = 1, 1
+        for i in bin_ids:
+            for entries in self.dataset.ids_list:
+                wav, txt = entries[i % len(entries)]
+                n = get_num_samples(wav)
+                if self.dataset.augment:
+                    n = int(n / 0.85) + 1
+                max_frames = max(max_frames,
+                                 num_frames(n, cfg.n_fft, cfg.hop_length))
+                max_u = max(max_u, len(self.dataset.parse_transcript(txt)))
+        T_b = min(pick_bucket(min(max_frames, cfg.src_max_len),
+                              cfg.src_buckets), cfg.src_max_len)
+        U_b = min(pick_bucket(max_u, cfg.tgt_buckets), cfg.tgt_max_len)
+        return T_b, U_b
+
     def _build_batch(self, bin_ids: List[int],
                      rng: np.random.RandomState) -> Batch:
         cfg = self.cfg
         n_fft, hop = cfg.n_fft, cfg.hop_length
+
+        forced_buckets = None
+        if self.process_count > 1:
+            forced_buckets = self._global_buckets(bin_ids)
+            per = (len(bin_ids) + self.process_count - 1) \
+                // self.process_count
+            # pad ragged tails by cycling so every process holds `per`
+            # rows (make_array_from_process_local_data needs equal shards)
+            padded = [bin_ids[k % len(bin_ids)]
+                      for k in range(per * self.process_count)]
+            lo = self.process_index * per
+            bin_ids = padded[lo:lo + per]
+
         items = self._get_items(bin_ids, rng)
         pcms = [it[0] for it in items]
         transcripts = [it[1] for it in items]
 
         frames = np.array([min(num_frames(len(y), n_fft, hop),
                                cfg.src_max_len) for y in pcms])
-        T_b = pick_bucket(int(frames.max()), cfg.src_buckets)
-        T_b = min(T_b, cfg.src_max_len)
+        if forced_buckets is None:
+            T_b = pick_bucket(int(frames.max()), cfg.src_buckets)
+            T_b = min(T_b, cfg.src_max_len)
+            U_max = max(len(t) for t in transcripts)
+            U_b = pick_bucket(U_max, cfg.tgt_buckets)
+            U_b = min(U_b, cfg.tgt_max_len)
+        else:
+            T_b, U_b = forced_buckets
         frames = np.minimum(frames, T_b)
-
-        U_max = max(len(t) for t in transcripts)
-        U_b = pick_bucket(U_max, cfg.tgt_buckets)
-        U_b = min(U_b, cfg.tgt_max_len)
 
         B = len(items)
         targets = np.full((B, U_b), PAD_TOKEN, np.int32)
@@ -184,11 +231,12 @@ class Prefetcher:
     host→device copy overlaps the previous step's compute."""
 
     def __init__(self, loader: AudioBatchLoader, depth: int = 2,
-                 num_workers: int = 2, to_device: bool = True,
-                 shardings=None):
+                 to_device: bool = True, shardings=None):
+        # NOTE: per-utterance decode parallelism lives in
+        # AudioBatchLoader._get_items (--num-workers); the producer here
+        # is deliberately a single thread feeding a bounded queue.
         self.loader = loader
         self.depth = max(1, depth)
-        self.num_workers = max(1, num_workers)
         self.to_device = to_device
         self.shardings = shardings  # optional dict field->sharding
 
@@ -204,7 +252,10 @@ class Prefetcher:
             if arr is None:
                 return None
             sh = (self.shardings or {}).get(name)
-            return jax.device_put(arr, sh) if sh else jax.device_put(arr)
+            if sh is not None:
+                from end2end_asr_tpu.parallel.mesh import put_sharded
+                return put_sharded(arr, sh)
+            return jax.device_put(arr)
 
         return dataclasses.replace(
             batch,
@@ -224,8 +275,9 @@ class Prefetcher:
                     if self.to_device:
                         batch = self._device_put(batch)
                     q.put(batch)
-            finally:
                 q.put(SENTINEL)
+            except BaseException as e:  # surface in the consumer, don't
+                q.put(e)                # silently end the epoch early
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -233,4 +285,6 @@ class Prefetcher:
             item = q.get()
             if item is SENTINEL:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,17 +44,22 @@ POOL_FACTOR = 4
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dims", "W", "n_steps", "force_eos"))
+                   static_argnames=("dims", "W", "n_steps", "force_eos",
+                                    "pool_factor"))
 def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
-                       W: int, n_steps: int, force_eos: bool):
+                       W: int, n_steps: int, force_eos: bool,
+                       pool_factor: int = POOL_FACTOR):
     """Returns (pool_tokens (B,P,L), pool_scores (B,P), pool_lens (B,P)).
 
     L = n_steps + 2 (SOS + n_steps tokens + forced EOS slot). Invalid pool
-    entries have score <= NEG/2.
+    entries have score <= NEG/2. `pool_factor` bounds the finished pool at
+    pool_factor·W entries by raw score (the reference keeps ALL finished
+    hypotheses; pool_factor >= n_steps + 1 makes this exact since at most
+    W retire per step).
     """
     B, T_enc, H = enc_out.shape
     dec = params["decoder"]
-    P = POOL_FACTOR * W
+    P = pool_factor * W
     L = n_steps + 2
 
     enc_rep = jnp.repeat(enc_out, W, axis=0)  # (B*W, T_enc, H)
@@ -158,15 +163,27 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
     return pool_t, pool_s, pool_l
 
 
+class Hyp(NamedTuple):
+    """One n-best entry: token ids (SOS…EOS), decoded string (yseq[1:],
+    specials included, like post_process_hyp transformer.py:307-314),
+    final rank score, and raw cumulative log-prob."""
+    ids: List[int]
+    text: str
+    final: float
+    raw: float
+
+
 class BeamDecoder:
     """Host wrapper: device beam → host final scoring/LM rescoring/nbest."""
 
     def __init__(self, cfg: Config, dims: ModelDims,
-                 id2label: Dict[int, str], lm=None):
+                 id2label: Dict[int, str], lm=None,
+                 pool_factor: int = POOL_FACTOR):
         self.cfg = cfg
         self.dims = dims
         self.id2label = id2label
         self.lm = lm
+        self.pool_factor = pool_factor
 
     def _final_score(self, ids: np.ndarray, raw_score: float,
                      length: int) -> Tuple[float, str]:
@@ -190,10 +207,9 @@ class BeamDecoder:
         return final, seq_str
 
     def decode_nbest(self, params, enc_out, nbest: Optional[int] = None
-                     ) -> List[List[Tuple[List[int], str]]]:
-        """Returns, per utterance, up to nbest (ids, string) pairs ranked
-        by final score. Strings include special chars like
-        post_process_hyp (yseq[1:], transformer.py:307-314)."""
+                     ) -> List[List[Hyp]]:
+        """Returns, per utterance, up to nbest `Hyp` entries ranked by
+        final score (transformer.py:498-517)."""
         cfg = self.cfg
         nbest = nbest or 1
         B, T_enc = enc_out.shape[0], enc_out.shape[1]
@@ -201,12 +217,13 @@ class BeamDecoder:
         n_steps = min(cfg.decode_max_len, T_enc, cfg.tgt_max_len - 1)
         force = T_enc <= cfg.decode_max_len
         pool_t, pool_s, pool_l = beam_search_device(
-            params, enc_out, self.dims, cfg.beam_width, n_steps, force)
+            params, enc_out, self.dims, cfg.beam_width, n_steps, force,
+            pool_factor=self.pool_factor)
         pool_t = np.asarray(pool_t)
         pool_s = np.asarray(pool_s)
         pool_l = np.asarray(pool_l)
 
-        results: List[List[Tuple[List[int], str]]] = []
+        results: List[List[Hyp]] = []
         need_greedy = []
         for b in range(B):
             cands = []
@@ -222,7 +239,7 @@ class BeamDecoder:
             for final, p in cands[:nbest]:
                 ids = pool_t[b, p, :int(pool_l[b, p])].tolist()
                 s = "".join(self.id2label.get(int(x), "") for x in ids[1:])
-                utt.append((ids, s))
+                utt.append(Hyp(ids, s, final, float(pool_s[b, p])))
             results.append(utt)
             if not utt:
                 need_greedy.append(b)
@@ -234,10 +251,11 @@ class BeamDecoder:
                                             cfg.tgt_max_len))
             strs = ids_to_strings(ids, self.id2label)
             for b in need_greedy:
-                results[b] = [(np.asarray(ids)[b].tolist(), strs[b])]
+                results[b] = [Hyp(np.asarray(ids)[b].tolist(), strs[b],
+                                  float("-inf"), float("-inf"))]
         return results
 
     def decode(self, params, enc_out) -> List[str]:
         """1-best strings per utterance."""
-        return [utt[0][1] if utt else ""
+        return [utt[0].text if utt else ""
                 for utt in self.decode_nbest(params, enc_out, nbest=1)]

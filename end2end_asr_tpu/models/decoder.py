@@ -125,7 +125,8 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
                   num_heads: int, dim_key: int, dim_value: int,
                   dim_model: int, emb_trg_sharing: bool = False,
                   dropout_rate: float = 0.1, deterministic: bool = True,
-                  rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+                  rng=None, dtype=jnp.bfloat16,
+                  remat: bool = False) -> jnp.ndarray:
     """Returns logits (B, U, V)."""
     B, U = seq_in.shape
     T_enc = enc_out.shape[1]
@@ -143,11 +144,8 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
     else:
         out = emb
 
-    for lp in p["layers"]:
-        if rng is not None:
-            rng, r1, r2, r3 = jax.random.split(rng, 4)
-        else:
-            r1 = r2 = r3 = None
+    def layer_fn(lp, out, enc_out, non_pad, self_mask, cross_mask,
+                 r1, r2, r3):
         out = L.mha(lp["self_attn"], out, out, out, num_heads, dim_key,
                     dim_value, mask=self_mask, dropout_rate=dropout_rate,
                     deterministic=deterministic, rng=r1, dtype=dtype)
@@ -159,7 +157,18 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
         out = out * non_pad
         out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
                     deterministic=deterministic, rng=r3, dtype=dtype)
-        out = out * non_pad
+        return out * non_pad
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    for lp in p["layers"]:
+        if rng is not None:
+            rng, r1, r2, r3 = jax.random.split(rng, 4)
+        else:
+            r1 = r2 = r3 = None
+        out = layer_fn(lp, out, enc_out, non_pad, self_mask, cross_mask,
+                       r1, r2, r3)
 
     return output_logits(p, out, dtype)
 

@@ -130,7 +130,8 @@ def forward(params: Params, state: Params, spect: jnp.ndarray,
         params["decoder"], seq_in, enc_out, enc_lens,
         dims.num_heads, dims.dim_key, dims.dim_value, dims.dim_model,
         emb_trg_sharing=dims.emb_trg_sharing, dropout_rate=dims.dropout,
-        deterministic=not train, rng=r_dec, dtype=dims.dtype)
+        deterministic=not train, rng=r_dec, dtype=dims.dtype,
+        remat=dims.remat and train)
     return pred, seq_out, new_state
 
 

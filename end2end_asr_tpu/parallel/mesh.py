@@ -5,8 +5,15 @@ Replaces the reference's single-process nn.DataParallel
 instead of replicating the module and scattering the batch every forward
 over NCCL, parameters live resident on every device of a 1-D `data` mesh
 and the batch is sharded on its leading axis; XLA inserts the gradient
-all-reduce (psum) over ICI. Multi-host works with the same program via
-jax.distributed initialization (each host feeds its local shard).
+all-reduce (psum) over ICI.
+
+Multi-host: after jax.distributed initialization each process builds only
+its LOCAL slice of every batch (AudioBatchLoader process_index/
+process_count) and `put_sharded` assembles the global array via
+jax.make_array_from_process_local_data — no host ever materializes or
+transfers the full batch. Losses/grads are computed globally by XLA.
+Limitation: the host-side train-CER logging decodes only locally
+addressable rows, so set --metrics-every high on pods.
 
 The mesh reserves room for more axes (seq/tensor) — the ASR models here
 fit comfortably on one chip, so data is the only axis populated, matching
@@ -52,6 +59,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis across `data`."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def put_sharded(arr, sharding: NamedSharding):
+    """device_put with a sharding; under multi-host jax.distributed, the
+    host array is the PROCESS-LOCAL shard and the global jax.Array is
+    assembled across processes (shapes must agree — the loader guarantees
+    this via header-derived buckets)."""
+    if sharding is None:
+        return jax.device_put(arr)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(arr))
+    return jax.device_put(arr, sharding)
 
 
 def shard_batch_dict(mesh: Mesh, arrays: dict) -> dict:

@@ -55,7 +55,7 @@ def test_beam_decoder_returns_strings_and_nbest():
     nbest = dec.decode_nbest(params, enc, nbest=3)
     for utt in nbest:
         assert 1 <= len(utt) <= 3
-        ids, s = utt[0]
+        ids, s = utt[0].ids, utt[0].text
         assert ids[0] == SOS_TOKEN and ids[-1] == EOS_TOKEN
 
 

@@ -61,6 +61,27 @@ def _ffn_sd(prefix, dm, di):
     }
 
 
+def _ref_sd(dm, dk, dv, nh, di, V, num_layers=1, prefix="module."):
+    """Reference-layout (DataParallel-wrapped) state dict, no frontend."""
+    sd = {}
+    sd[prefix + "encoder.input_linear.weight"] = torch.randn(dm, 161)
+    sd[prefix + "encoder.input_linear.bias"] = torch.randn(dm)
+    sd[prefix + "encoder.layer_norm_input.weight"] = torch.ones(dm)
+    sd[prefix + "encoder.layer_norm_input.bias"] = torch.zeros(dm)
+    for n in range(num_layers):
+        for k, v in {**_mha_sd(f"encoder.layers.{n}.self_attn", dm, dk, dv, nh),
+                     **_ffn_sd(f"encoder.layers.{n}.pos_ffn", dm, di)}.items():
+            sd[prefix + k] = v
+    sd[prefix + "decoder.trg_embedding.weight"] = torch.randn(V, dm)
+    for n in range(num_layers):
+        for k, v in {**_mha_sd(f"decoder.layers.{n}.self_attn", dm, dk, dv, nh),
+                     **_mha_sd(f"decoder.layers.{n}.encoder_attn", dm, dk, dv, nh),
+                     **_ffn_sd(f"decoder.layers.{n}.pos_ffn", dm, di)}.items():
+            sd[prefix + k] = v
+    sd[prefix + "decoder.output_linear.weight"] = torch.randn(V, dm)
+    return sd
+
+
 def test_convert_file_and_evaluate(tmp_path):
     torch.manual_seed(0)
     dm, dk, dv, nh, di, V = 32, 16, 16, 2, 64, 8
@@ -121,3 +142,85 @@ def test_convert_file_and_evaluate(tmp_path):
         params, model_state, spect, jnp.array([20, 15]), tgt)
     assert pred.shape == (2, 7, V)
     assert np.isfinite(np.asarray(pred)).all()
+
+
+@pytest.mark.slow
+def test_train_resume_from_converted_checkpoint(tmp_path):
+    """The reference's --continue-from training-resume contract
+    (utils/functions.py:86-94, train.py:84-99): resuming from a converted
+    .th must rebuild optimizer state and CONTINUE the Noam LR schedule
+    from the checkpoint's _step, not restart at step 1."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    from tests.synth import make_corpus
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    manifest, labels_path = make_corpus(str(tmp_path / "c"),
+                                        exact_samples=63 * 160)
+    import json as _json
+    from end2end_asr_tpu.config import build_vocab
+    with open(labels_path, encoding="utf-8") as f:
+        label2id, id2label = build_vocab("".join(_json.load(f)))
+    V = len(label2id)
+
+    torch.manual_seed(1)
+    dm, dk, dv, nh, di = 64, 16, 16, 2, 128
+    ns = _ref_args()
+    ns.__dict__.update(num_layers=1, dim_model=dm, dim_key=dk, dim_value=dv,
+                       dim_inner=di, dim_emb=dm, dim_input=161,
+                       src_max_len=128, tgt_max_len=16, epochs=1,
+                       name="resume", parallel=False, shuffle=False)
+    noam_step = 1234
+    ckpt = {
+        "label2id": label2id,
+        "id2label": id2label,
+        "args": ns,
+        "epoch": 0,
+        "model_state_dict": _ref_sd(dm, dk, dv, nh, di, V),
+        "optimizer_state_dict": {},
+        "optimizer_params": {"_step": noam_step, "_rate": 3e-4,
+                             "warmup": 4000, "factor": 1.0,
+                             "model_size": 161},
+        "metrics": {},
+    }
+    th_path = tmp_path / "trained_ref.th"
+    torch.save(ckpt, str(th_path))
+
+    from tools.convert_reference_checkpoint import convert_file
+    out_base = str(tmp_path / "converted_train")
+    convert_file(str(th_path), out_base)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "train.py"),
+         "--continue-from", out_base,
+         "--train-manifest-list", manifest,
+         "--valid-manifest-list", manifest,
+         "--labels-path", labels_path,
+         "--name", "resume", "--save-folder", "models",
+         "--epochs", "1", "--save-every", "1", "--batch-size", "4",
+         "--dtype", "float32"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # the first logged LR must be the Noam rate at step noam_step+1
+    log = (tmp_path / "log" / "resume").read_text()
+    m = re.search(r"LR:([0-9.]+)", log)
+    assert m, log[-2000:]
+    import jax.numpy as jnp
+    from end2end_asr_tpu.training.optimizer import NoamConfig, noam_rate
+    expect = float(noam_rate(jnp.asarray(noam_step + 1),
+                             NoamConfig(model_size=161, factor=1.0,
+                                        warmup=4000, min_lr=1e-5)))
+    assert abs(float(m.group(1)) - expect) < 1e-6, (m.group(1), expect)
+
+    # and the saved checkpoint carries the advanced optimizer step
+    from end2end_asr_tpu.training.checkpoint import load_checkpoint
+    (_, _, _, opt_state, *_rest) = load_checkpoint(
+        str(tmp_path / "models" / "resume" / "epoch_1"))
+    assert int(opt_state["step"]) == noam_step + 1

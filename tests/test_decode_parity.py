@@ -1,0 +1,156 @@
+"""Decode-level parity vs the ACTUAL reference decoder: the torch
+Decoder's greedy_search / beam_search run in a subprocess
+(ref_decode_dump.py) and our greedy_decode / BeamDecoder must produce the
+same transcripts, the same n-best order, and the same raw/final scores.
+
+Forward-logit parity is already proven at 2e-4 (test_reference_parity);
+CER is a pure function of decoded strings, so decode parity + forward
+parity ≈ CER parity on converted reference checkpoints by construction
+(the corpus itself is unreachable in this image).
+
+Known micro-deviation (no effect on strings/scores/order): a hypothesis
+that naturally emits EOS at the very last step gets a SECOND, forced EOS
+appended by the reference (transformer.py:464-467 appends to all
+survivors, even ones that just chose EOS); ours retires it at the natural
+EOS. Token comparison collapses the doubled trailing EOS.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from end2end_asr_tpu.config import Config, EOS_TOKEN
+from end2end_asr_tpu.models.layers import sinusoid_table
+from end2end_asr_tpu.models.transformer import dims_from_config
+from end2end_asr_tpu.decoding.beam import BeamDecoder
+from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+from tools.convert_reference_checkpoint import _ffn, _mha
+
+REF = "/root/reference"
+DM, TGT_MAX = 32, 400
+
+
+class _T:  # minimal tensor shim for the converter helpers' _np()
+    def __init__(self, a):
+        self.a = a
+
+    def detach(self):
+        return self
+
+    def cpu(self):
+        return self
+
+    def numpy(self):
+        return self.a
+
+
+@pytest.fixture(scope="module")
+def oracle(tmp_path_factory):
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not available")
+    base = str(tmp_path_factory.mktemp("decpar") / "ref_decode")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "ref_decode_dump.py"),
+         base],
+        capture_output=True, text=True, env=env, timeout=900)
+    if r.returncode != 0:
+        pytest.skip(f"reference decoder not runnable: {r.stderr[-800:]}")
+    data = np.load(base + ".npz")
+    with open(base + ".json", encoding="utf-8") as f:
+        results = json.load(f)
+
+    sd = {k[3:]: _T(data[k]) for k in data.files if k.startswith("sd.")}
+    dec = {
+        "embedding": sd["trg_embedding.weight"].numpy().astype(np.float32),
+        "layers": [
+            {"self_attn": _mha(sd, f"layers.{i}.self_attn"),
+             "enc_attn": _mha(sd, f"layers.{i}.encoder_attn"),
+             "ffn": _ffn(sd, f"layers.{i}.pos_ffn")}
+            for i in range(2)
+        ],
+        "output_linear": {
+            "w": sd["output_linear.weight"].numpy().astype(np.float32).T},
+        "pe": np.asarray(sinusoid_table(TGT_MAX + 1, DM)),
+    }
+    params = {"decoder": dec}
+    id2label = {int(k): v for k, v in results["id2label"].items()}
+    return (params, id2label, np.asarray(data["enc_short"]),
+            np.asarray(data["enc_long"]), results, base)
+
+
+def _cfg(**kw):
+    return Config(num_layers=2, num_heads=2, dim_model=DM, dim_key=16,
+                  dim_value=16, dim_inner=64, dim_emb=DM,
+                  feat_extractor="", dropout=0.0, dtype="float32",
+                  src_max_len=TGT_MAX, tgt_max_len=TGT_MAX, **kw)
+
+
+def _norm(ids):
+    """Collapse the reference's doubled trailing EOS (see module doc)."""
+    ids = [int(x) for x in ids]
+    while len(ids) >= 2 and ids[-1] == EOS_TOKEN and ids[-2] == EOS_TOKEN:
+        ids.pop()
+    return ids
+
+
+def test_greedy_strings_match(oracle):
+    params, id2label, enc_short, enc_long, results, _ = oracle
+    dims = dims_from_config(_cfg())
+    for enc, key in ((enc_short, "greedy_short"), (enc_long, "greedy_long")):
+        ids = greedy_decode(params, enc, dims, max_len=300)
+        ours = ids_to_strings(ids, id2label)
+        assert ours == results[key]
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_beam_nbest_matches(oracle, case):
+    params, id2label, enc_short, enc_long, results, base = oracle
+    ref = results["beams"][case]
+    enc = enc_long if ref["enc"] == "long" else enc_short
+    lm = None
+    if ref["lm_weight"] is not None:
+        from end2end_asr_tpu.models.lm import LM
+        lm = LM(base + "_lm.pt")
+    cfg = _cfg(beam_width=ref["W"], beam_nbest=ref["nbest"],
+               c_weight=ref["c_weight"],
+               lm_rescoring=ref["lm_weight"] is not None,
+               lm_weight=ref["lm_weight"] or 0.1)
+    dims = dims_from_config(cfg)
+    # pool_factor >= n_steps+1 keeps EVERY finished hypothesis → exact
+    # replication of the reference's unbounded ended_hyps list
+    n_steps = min(cfg.decode_max_len, enc.shape[1], cfg.tgt_max_len - 1)
+    dec = BeamDecoder(cfg, dims, id2label, lm=lm,
+                      pool_factor=n_steps + 1)
+    nbest = dec.decode_nbest(params, enc, nbest=ref["nbest"])
+
+    flat = 0
+    for b, count in enumerate(ref["counts"]):
+        utt = nbest[b]
+        assert len(utt) == count, (b, len(utt), count)
+        for k in range(count):
+            ref_ids = _norm(ref["ids"][flat])
+            ref_raw = ref["raw"][flat]
+            ref_final = ref["final"][flat]
+            flat += 1
+            hyp = utt[k]
+            assert _norm(hyp.ids) == ref_ids, (b, k)
+            np.testing.assert_allclose(hyp.raw, ref_raw, atol=5e-3,
+                                       rtol=1e-4)
+            np.testing.assert_allclose(hyp.final, ref_final, atol=5e-3,
+                                       rtol=1e-4)
+
+
+def test_reference_greedy_lm_branch_is_broken(oracle):
+    """The reference's greedy lm_rescoring branch
+    (transformer.py:357-373) crashes on its first step (log_softmax/topk
+    over the TIME dim of a (B,1,V) tensor). Our --lm-rescoring without
+    --beam-search therefore routes through the batched beam
+    (evaluation.py) — there is no working reference behavior to match."""
+    *_, results, _ = oracle
+    assert results["greedy_lm_error"] is not None

@@ -1,0 +1,103 @@
+"""NoiseInjector parity with the reference's SNR-mixing semantics
+(utils/data_loader.py:147-179): mixed = data + level·noise·E_d/E_n with
+RMS energies, noise segment cropped at a random offset, level uniform in
+noise_levels — plus determinism per seed (the reference uses unseeded
+np.random in forked workers; we take an explicit RNG)."""
+
+import numpy as np
+import pytest
+
+from end2end_asr_tpu.data.audio import save_wav
+from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector
+
+SR = 16000
+
+
+@pytest.fixture()
+def noise_dir(tmp_path):
+    d = tmp_path / "noise"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    # one long noise file (longer than any utterance) + one short one
+    save_wav(str(d / "long.wav"),
+             rng.randn(SR).astype(np.float32) * 0.3, SR)
+    save_wav(str(d / "short.wav"),
+             rng.randn(SR // 100).astype(np.float32) * 0.3, SR)
+    return str(d)
+
+
+def test_snr_energy_formula(noise_dir, monkeypatch):
+    inj = NoiseInjector(noise_dir, SR, noise_levels=(0.25, 0.25))
+    rng = np.random.RandomState(7)
+    data = (0.1 * np.sin(2 * np.pi * 440 *
+                         np.arange(SR // 4) / SR)).astype(np.float32)
+
+    # pin the chosen file/offset so the exact reference formula is
+    # checkable: data + level * noise * sqrt(E_data) / sqrt(E_noise)
+    from end2end_asr_tpu.data import audio as A
+    captured = {}
+    orig = A.audio_with_crop
+
+    def spy(path, sr, start, end):
+        seg = orig(path, sr, start, end)
+        captured["noise"] = seg.copy()
+        return seg
+
+    monkeypatch.setattr(A, "audio_with_crop", spy)
+    mixed = inj.inject_noise(data, rng)
+
+    noise = captured["noise"][:len(data)]
+    if len(noise) < len(data):
+        noise = np.pad(noise, (0, len(data) - len(noise)))
+    d_e = np.sqrt(data.dot(data) / data.size)
+    n_e = np.sqrt(noise.dot(noise) / noise.size) + 1e-10
+    expect = data + 0.25 * noise * d_e / n_e
+    np.testing.assert_allclose(mixed, expect, rtol=1e-5, atol=1e-7)
+    assert not np.allclose(mixed, data)  # noise actually added
+
+
+def test_zero_level_is_identity(noise_dir):
+    inj = NoiseInjector(noise_dir, SR, noise_levels=(0.0, 0.0))
+    rng = np.random.RandomState(3)
+    data = np.random.RandomState(1).randn(SR // 8).astype(np.float32)
+    mixed = inj.inject_noise(data, rng)
+    np.testing.assert_allclose(mixed, data, atol=1e-7)
+
+
+def test_short_noise_padded_and_deterministic(noise_dir):
+    inj = NoiseInjector(noise_dir, SR, noise_levels=(0.5, 0.5))
+    data = np.random.RandomState(2).randn(SR // 2).astype(np.float32)
+    # force the short file (pick until the randint lands on it) while
+    # verifying determinism: same seed → identical mix
+    out1 = inj.inject_noise(data.copy(), np.random.RandomState(11))
+    out2 = inj.inject_noise(data.copy(), np.random.RandomState(11))
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.shape == data.shape
+
+    # explicit short-file path: segment shorter than data gets zero-padded
+    inj.paths = [p for p in inj.paths if "short" in p]
+    out = inj.inject_noise(data.copy(), np.random.RandomState(5))
+    assert out.shape == data.shape
+    # beyond the padded region the mix must equal the clean signal
+    np.testing.assert_allclose(out[SR // 100:], data[SR // 100:],
+                               atol=1e-7)
+
+
+def test_dataset_applies_noise_with_probability(noise_dir, tmp_path):
+    from tests.synth import make_corpus
+    from end2end_asr_tpu.config import load_vocab
+    manifest, labels = make_corpus(str(tmp_path / "c"),
+                                   exact_samples=SR // 10)
+    label2id, _ = load_vocab(labels)
+    inj = NoiseInjector(noise_dir, SR, noise_levels=(0.4, 0.4))
+    ds_clean = ManifestDataset([manifest], label2id, sample_rate=SR)
+    ds_noisy = ManifestDataset([manifest], label2id, sample_rate=SR,
+                               noise_injector=inj, noise_prob=1.0)
+    ds_never = ManifestDataset([manifest], label2id, sample_rate=SR,
+                               noise_injector=inj, noise_prob=0.0)
+    y0, _ = ds_clean.get_item(0, np.random.RandomState(9))
+    y1, _ = ds_noisy.get_item(0, np.random.RandomState(9))
+    y2, _ = ds_never.get_item(0, np.random.RandomState(9))
+    assert y0.shape == y1.shape
+    assert not np.allclose(y0, y1)
+    np.testing.assert_array_equal(y0, y2)

@@ -13,6 +13,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 
 from end2end_asr_tpu.utils.platform import honor_env_platform
 
@@ -22,13 +23,16 @@ from end2end_asr_tpu.config import config_from_args, load_vocab
 from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector
 from end2end_asr_tpu.data.loader import AudioBatchLoader, BucketingSampler
 from end2end_asr_tpu.models.transformer import init_transformer
-from end2end_asr_tpu.parallel.mesh import check_divisible, make_mesh
+from end2end_asr_tpu.parallel.mesh import (check_divisible, make_mesh,
+                                           maybe_initialize_distributed)
 from end2end_asr_tpu.training.checkpoint import load_checkpoint
 from end2end_asr_tpu.training.optimizer import init_adam_state
 from end2end_asr_tpu.training.trainer import Trainer
+from end2end_asr_tpu.utils.logger import Logger as StdoutTee
 
 
-def main(argv=None):
+def main(argv=None, trainer_cls=Trainer):
+    maybe_initialize_distributed()  # multi-host no-op unless cluster env
     cfg = config_from_args(argv)
     try:
         jax.config.update("jax_default_prng_impl", cfg.rng_impl)
@@ -47,6 +51,9 @@ def main(argv=None):
                         level=logging.INFO)
     logger = logging.getLogger("end2end_asr_tpu")
     logger.setLevel(logging.INFO)
+    # tee stdout into log/<name>.stdout so the console history of
+    # (auto-resumed) runs is preserved (utils/logger.py)
+    sys.stdout = StdoutTee("log/" + cfg.name + ".stdout")
 
     start_epoch = 0
     metrics = None
@@ -62,6 +69,16 @@ def main(argv=None):
         logger.info("Continue from checkpoint: %s", cfg.continue_from)
         (ckpt_cfg, epoch, params, opt_state, model_state, label2id,
          id2label, metrics) = load_checkpoint(cfg.continue_from)
+        if opt_state is None:
+            # converted reference .th checkpoints carry only the Noam
+            # scalar step (functions.py:86-94) — rebuild fresh Adam
+            # moments and seed the step so the LR schedule continues
+            opt_state = init_adam_state(params)
+            opt_state["step"] = jnp.asarray(
+                int(metrics.get("noam_step", 0)), jnp.int32)
+            logger.info("No optimizer state in checkpoint; reinitialized "
+                        "Adam moments at noam_step=%d",
+                        int(opt_state["step"]))
         # architecture/features come from the checkpoint (functions.py:72-78)
         cfg = ckpt_cfg.replace(
             train_manifest_list=cfg.train_manifest_list,
@@ -96,15 +113,20 @@ def main(argv=None):
         list(cfg.train_manifest_list), label2id,
         sample_rate=cfg.sample_rate, augment=cfg.augment,
         noise_injector=noise, noise_prob=cfg.noise_prob)
+    # multi-host: every process runs the same sampler but feeds only its
+    # local slice of each batch (parallel/mesh.py put_sharded)
+    pidx, pcnt = jax.process_index(), jax.process_count()
     train_loader = AudioBatchLoader(
         train_data, cfg,
         sampler=BucketingSampler(len(train_data), cfg.batch_size,
-                                 seed=cfg.seed))
+                                 seed=cfg.seed),
+        process_index=pidx, process_count=pcnt)
 
     valid_loader_list = []
     for m in cfg.valid_manifest_list:
         vd = ManifestDataset([m], label2id, sample_rate=cfg.sample_rate)
-        valid_loader_list.append(AudioBatchLoader(vd, cfg))
+        valid_loader_list.append(AudioBatchLoader(
+            vd, cfg, process_index=pidx, process_count=pcnt))
 
     mesh = None
     if cfg.parallel:
@@ -112,8 +134,8 @@ def main(argv=None):
         check_divisible(cfg.batch_size, mesh)
         logger.info("data-parallel mesh: %s", mesh)
 
-    trainer = Trainer(cfg, label2id, id2label,
-                      metrics_every=cfg.metrics_every)
+    trainer = trainer_cls(cfg, label2id, id2label,
+                          metrics_every=cfg.metrics_every)
     trainer.mesh = mesh
     trainer.train(params, opt_state, model_state, train_loader,
                   valid_loader_list, start_epoch=start_epoch,
