@@ -62,35 +62,58 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
     P = pool_factor * W
     L = n_steps + 2
 
-    enc_rep = jnp.repeat(enc_out, W, axis=0)  # (B*W, T_enc, H)
-    cache = D.init_cache(dec, enc_rep, L, dims.num_heads, dims.dim_key,
-                         dims.dim_value, dtype=dims.dtype)
+    # cross K/V are computed once per UTTERANCE (beams share them) and
+    # self K/V rings are slot-local in beam layout — see decoder.init_cache
+    cache = D.init_cache(dec, enc_out, L, dims.num_heads, dims.dim_key,
+                         dims.dim_value, dtype=dims.dtype, beam_W=W)
 
     tokens = jnp.full((B, W, L), EOS_TOKEN, jnp.int32)
     tokens = tokens.at[:, :, 0].set(SOS_TOKEN)
     scores = jnp.full((B, W), NEG, jnp.float32).at[:, 0].set(0.0)
     alive = jnp.zeros((B, W), bool).at[:, 0].set(True)
+    # ancestry table: the self-K/V a row needs at position l lives at
+    # slot anc[b, w, l]; caches stay slot-local and are NEVER permuted
+    # (the per-step reorder copy was ~60% of beam time)
+    anc = jnp.zeros((B, W, L), jnp.int32)
 
     pool_tokens = jnp.full((B, P, L), EOS_TOKEN, jnp.int32)
     pool_scores = jnp.full((B, P), NEG, jnp.float32)
     pool_lens = jnp.zeros((B, P), jnp.int32)
 
     def insert_pool(pool_t, pool_s, pool_l, new_t, new_s, new_l):
-        """Merge W candidates into the per-utterance top-P pool."""
+        """Merge W candidates into the per-utterance top-P pool.
+
+        The row gather is a one-hot MATMUL: a vmapped t[i] gather of
+        ~(P+W)·B small rows per step ran at ~1.9 ms/step on v5e (scattered
+        sub-lane DMAs dominated the whole search); the one-hot contraction
+        streams the same bytes through the MXU and is exact (token ids
+        < 2^24 are representable in f32)."""
         all_t = jnp.concatenate([pool_t, new_t], axis=1)  # (B, P+W, L)
         all_s = jnp.concatenate([pool_s, new_s], axis=1)
         all_l = jnp.concatenate([pool_l, new_l], axis=1)
         top_s, top_i = jax.lax.top_k(all_s, P)
-        take = jax.vmap(lambda t, i: t[i])
-        return take(all_t, top_i), top_s, take(all_l, top_i)
+        sel = jax.nn.one_hot(top_i, P + W, dtype=jnp.float32)  # (B,P,P+W)
+        t_sel = jnp.einsum("bpq,bql->bpl", sel,
+                           all_t.astype(jnp.float32)).astype(jnp.int32)
+        l_sel = jnp.einsum("bpq,bq->bp", sel,
+                           all_l.astype(jnp.float32)).astype(jnp.int32)
+        return t_sel, top_s, l_sel
 
     def step(carry):
-        t, tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+        (t, tokens, scores, alive, anc, cache, pool_t, pool_s,
+         pool_l) = carry
         last = tokens[:, :, t].reshape(B * W)
+        # position t is being written by each slot for itself
+        anc = anc.at[:, :, t].set(jnp.arange(W)[None, :])
+        # indicator in (B, W, slots, L) order — position axis minor, so
+        # nothing downstream lane-pads the W=8 axis (see _attend_beam)
+        anc_hot = (anc[:, :, None, :] ==
+                   jnp.arange(W)[None, None, :, None]).astype(jnp.float32)
         logits, cache = D.decode_step(
             dec, cache, last, t, dims.num_heads, dims.dim_key,
             dims.dim_value, dims.dim_model,
-            emb_trg_sharing=dims.emb_trg_sharing, dtype=dims.dtype)
+            emb_trg_sharing=dims.emb_trg_sharing, dtype=dims.dtype,
+            beam=(W, anc_hot))
         V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(B, W, V)
@@ -100,30 +123,12 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         parent = top_i // V
         tok = (top_i % V).astype(jnp.int32)
 
-        # gather parent prefixes + caches
+        # gather parent prefixes + ancestry (tiny int32 tables — the
+        # self-K/V caches are slot-local and never move)
         take_rows = jax.vmap(lambda x, i: x[i])
         new_tokens = take_rows(tokens, parent)  # (B, W, L)
         new_tokens = new_tokens.at[:, :, t + 1].set(tok)
-        flat_parent = (jnp.arange(B)[:, None] * W + parent).reshape(B * W)
-        # Cache reorder notes (measured on v5e):
-        #  * cross K/V rows are identical across beams of an utterance
-        #    (init from repeat(enc_out, W)) — parent-"gathering" them is a
-        #    semantic no-op, skip entirely;
-        #  * self K/V reorder as a row gather ran at ~19% of HBM peak and
-        #    was 63% of beam time; a one-hot permutation MATMUL moves the
-        #    same bytes through the MXU at streaming bandwidth and is
-        #    exact (each output element is a single 1.0×v product).
-        perm = jax.nn.one_hot(flat_parent, B * W, dtype=cache[0]["k_self"].dtype)
-
-        def permute(x):
-            flat = x.reshape(B * W, -1)
-            return jnp.dot(perm, flat).reshape(x.shape)
-
-        new_cache = [
-            {**c,
-             "k_self": permute(c["k_self"]),
-             "v_self": permute(c["v_self"])}
-            for c in cache]
+        new_anc = take_rows(anc, parent)
 
         parent_alive = take_rows(alive, parent)
         valid = parent_alive & (top_s > NEG / 2)
@@ -136,7 +141,7 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
             pool_t, pool_s, pool_l, new_tokens, end_s, end_l)
 
         new_scores = jnp.where(new_alive, top_s, NEG)
-        return (t + 1, new_tokens, new_scores, new_alive, new_cache,
+        return (t + 1, new_tokens, new_scores, new_alive, new_anc, cache,
                 pool_t, pool_s, pool_l)
 
     def cond(carry):
@@ -146,10 +151,11 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         alive = carry[3]
         return (t < n_steps) & jnp.any(alive)
 
-    carry = (jnp.int32(0), tokens, scores, alive, cache, pool_tokens,
+    carry = (jnp.int32(0), tokens, scores, alive, anc, cache, pool_tokens,
              pool_scores, pool_lens)
     carry = jax.lax.while_loop(cond, step, carry)
-    _, tokens, scores, alive, cache, pool_t, pool_s, pool_l = carry
+    (_, tokens, scores, alive, anc, cache, pool_t, pool_s,
+     pool_l) = carry
 
     if force_eos:
         # transformer.py:464-467: surviving hyps get EOS appended (no

@@ -197,10 +197,15 @@ def fused_qkv_weights(p: Params, dtype=jnp.bfloat16):
 
 def init_cache(p: Params, enc_out: jnp.ndarray, max_len: int,
                num_heads: int, dim_key: int, dim_value: int,
-               dtype=jnp.bfloat16) -> List[Dict[str, jnp.ndarray]]:
+               dtype=jnp.bfloat16, beam_W: Optional[int] = None
+               ) -> List[Dict[str, jnp.ndarray]]:
     """Precompute per-layer cross K/V from encoder output, fused self-attn
     QKV weights, and allocate self-attention K/V rings.
-    enc_out: (B, T_enc, H)."""
+    enc_out: (B, T_enc, H).
+
+    beam_W: beam layouts — self K/V (B, nh, W, L, d) slot-local rings and
+    cross K/V (B, nh, T, d) shared per utterance (enc_out here is the
+    UNREPLICATED (B_utt, T, H)); see _attend_beam/_attend_cross_beam."""
     B = enc_out.shape[0]
     T_enc = enc_out.shape[1]
     fused = fused_qkv_weights(p, dtype)
@@ -210,12 +215,24 @@ def init_cache(p: Params, enc_out: jnp.ndarray, max_len: int,
             B, T_enc, num_heads, dim_key)
         v_cross = L.dense(lp["enc_attn"]["v"], enc_out, dtype).reshape(
             B, T_enc, num_heads, dim_value)
-        entry = {
-            "k_self": jnp.zeros((B, max_len, num_heads, dim_key), dtype),
-            "v_self": jnp.zeros((B, max_len, num_heads, dim_value), dtype),
-            "k_cross": k_cross,
-            "v_cross": v_cross,
-        }
+        if beam_W:
+            entry = {
+                "k_self": jnp.zeros(
+                    (B, num_heads, beam_W, max_len, dim_key), dtype),
+                "v_self": jnp.zeros(
+                    (B, num_heads, beam_W, max_len, dim_value), dtype),
+                "k_cross": k_cross.transpose(0, 2, 1, 3),  # (B,nh,T,dk)
+                "v_cross": v_cross.transpose(0, 2, 1, 3),
+            }
+        else:
+            entry = {
+                "k_self": jnp.zeros((B, max_len, num_heads, dim_key),
+                                    dtype),
+                "v_self": jnp.zeros((B, max_len, num_heads, dim_value),
+                                    dtype),
+                "k_cross": k_cross,
+                "v_cross": v_cross,
+            }
         if wqkv is not None:
             entry["wqkv"] = wqkv
         cache.append(entry)
@@ -234,13 +251,74 @@ def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       ).astype(jnp.float32)
 
 
+def _attend_beam(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                 dim_key: int, t: jnp.ndarray, W: int,
+                 anc_hot: jnp.ndarray) -> jnp.ndarray:
+    """Beam self-attention over SLOT-LOCAL caches via an ancestry table —
+    the cache is never reordered (the per-step permutation copy was ~60%
+    of beam time; ROADMAP Perf #2).
+
+    The key/value the w-th beam row needs at position l lives at slot
+    anc[w, l] (the slot its ancestor occupied when position l was
+    written). Scores against ALL W slots are computed (tiny extra MXU
+    FLOPs, zero extra HBM reads) and the ancestor's selected with a
+    one-hot contraction — mathematically identical to attending over the
+    reorder-materialized cache.
+
+    Layouts are chosen so (a) every einsum maps to a transpose-free
+    dot_general over the BIG operands, and (b) every multi-MB
+    intermediate has the POSITION axis l minor — a minor axis of W=8
+    would be lane-padded to 128 by the TPU tiler, a measured 16× HBM
+    blowup (~79 MB/layer/step) that dominated the whole search.
+      q: (B·W, nh, dk); k: (B, nh, W, L, dk); v: (B, nh, W, L, dv);
+      anc_hot: (B, W, W_slots, L) indicator of the ancestry slots
+      (entries at l > t may be arbitrary — the causal mask hides them).
+    """
+    scale = 1.0 / math.sqrt(dim_key)
+    B, nh = k.shape[0], k.shape[1]
+    L = k.shape[3]
+    dk, dv = k.shape[-1], v.shape[-1]
+    qs = q.reshape(B, W, nh, dk).transpose(0, 2, 1, 3)  # (B, nh, W, dk)
+    # all-slot scores, then pick each row's ancestor slot per position
+    s_all = jnp.einsum("bhwd,bhvld->bhwvl", qs, k).astype(jnp.float32)
+    s = jnp.einsum("bhwvl,bwvl->bhwl", s_all, anc_hot) * scale
+    causal = jnp.arange(L)[None, None, None, :] <= t
+    s = jnp.where(causal, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)  # (B, nh, W, L)
+    # scatter the probabilities back onto slots and contract with V
+    pv = jnp.einsum("bhwl,bwvl->bhwvl", p, anc_hot).astype(v.dtype)
+    out = jnp.einsum("bhwvl,bhvld->bhwd", pv, v).astype(jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(B * W, nh, dv)
+
+
+def _attend_cross_beam(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       dim_key: int, W: int) -> jnp.ndarray:
+    """Beam cross-attention against PER-UTTERANCE K/V (the reference's
+    beams all attend to the same encoder output — replicating cross K/V
+    W× only multiplied HBM reads). q: (B·W, nh, dk);
+    k: (B, nh, T, dk); v: (B, nh, T, dv)."""
+    scale = 1.0 / math.sqrt(dim_key)
+    B, nh = k.shape[0], k.shape[1]
+    dk, dv = k.shape[-1], v.shape[-1]
+    qs = q.reshape(B, W, nh, dk).transpose(0, 2, 1, 3)  # (B, nh, W, dk)
+    s = jnp.einsum("bhwd,bhtd->bhwt", qs, k).astype(jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhwt,bhtd->bhwd", p.astype(v.dtype), v
+                     ).astype(jnp.float32)
+    return out.transpose(0, 2, 1, 3).reshape(B * W, nh, dv)
+
+
 def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
                 num_heads: int, dim_key: int, dim_value: int,
                 dim_model: int, emb_trg_sharing: bool = False,
-                dtype=jnp.bfloat16):
+                dtype=jnp.bfloat16, beam: Optional[Tuple] = None):
     """One decode step. token: (B,) int32 ids at position t (scalar traced).
     Returns (logits (B, V), new_cache). Inference semantics: non-pad mask 1,
-    no cross mask, dropout off (transformer.py:336-348)."""
+    no cross mask, dropout off (transformer.py:336-348).
+
+    beam=(W, anc_hot) switches self-attention to the slot-local ancestry
+    formulation (_attend_beam): rows are B_utt·W beam slots and the cache
+    is never permuted between steps."""
     B = token.shape[0]
     scale = logit_scale(dim_model, emb_trg_sharing)
     x = p["embedding"][token] * scale + p["pe"][t]  # (B, H)
@@ -259,11 +337,34 @@ def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
             q = L.dense(sa["q"], x, dtype).reshape(B, num_heads, dim_key)
             k_t = L.dense(sa["k"], x, dtype).reshape(B, num_heads, dim_key)
             v_t = L.dense(sa["v"], x, dtype).reshape(B, num_heads, dim_value)
-        k_self = jax.lax.dynamic_update_index_in_dim(c["k_self"], k_t, t, 1)
-        v_self = jax.lax.dynamic_update_index_in_dim(c["v_self"], v_t, t, 1)
-        valid = (jnp.arange(k_self.shape[1])[None, :] <= t)
-        valid = jnp.broadcast_to(valid, (B, k_self.shape[1]))
-        out = _attend(q, k_self, v_self, dim_key, valid)
+        if beam is not None:
+            W, anc_hot = beam
+            Bu = B // W
+            # slot-local writes in the (B, nh, W, L, d) beam layout.
+            # The write is a masked select rather than dynamic_update_slice:
+            # XLA staged these carries in alternate memory and lowered the
+            # dus as a full-buffer shuttle (~0.16 ms per cache per step,
+            # 62% of beam time); the select fuses into one elementwise pass.
+            k_b = k_t.reshape(Bu, W, num_heads, dim_key
+                              ).transpose(0, 2, 1, 3)
+            v_b = v_t.reshape(Bu, W, num_heads, dim_value
+                              ).transpose(0, 2, 1, 3)
+            L_len = c["k_self"].shape[3]
+            at_t = (jnp.arange(L_len) == t)[None, None, None, :, None]
+            k_self = jnp.where(at_t, k_b[:, :, :, None, :], c["k_self"])
+            v_self = jnp.where(at_t, v_b[:, :, :, None, :], c["v_self"])
+            out = _attend_beam(q, k_self, v_self, dim_key, t, W, anc_hot)
+        else:
+            # dynamic_update stays for the single-row cache: it lowers
+            # in-place here (a masked-select rewrite measured SLOWER —
+            # the small greedy caches are not staged in alternate memory)
+            k_self = jax.lax.dynamic_update_index_in_dim(
+                c["k_self"], k_t, t, 1)
+            v_self = jax.lax.dynamic_update_index_in_dim(
+                c["v_self"], v_t, t, 1)
+            valid = (jnp.arange(k_self.shape[1])[None, :] <= t)
+            valid = jnp.broadcast_to(valid, (B, k_self.shape[1]))
+            out = _attend(q, k_self, v_self, dim_key, valid)
         out = out.reshape(B, num_heads * dim_value)
         out = L.dense(sa["out"], out.astype(dtype), dtype).astype(jnp.float32)
         x = L.layer_norm(sa["ln"], out + residual)
@@ -271,7 +372,11 @@ def decode_step(p: Params, cache, token: jnp.ndarray, t: jnp.ndarray,
         residual = x
         ea = lp["enc_attn"]
         q = L.dense(ea["q"], x, dtype).reshape(B, num_heads, dim_key)
-        out = _attend(q, c["k_cross"], c["v_cross"], dim_key, None)
+        if beam is not None:
+            out = _attend_cross_beam(q, c["k_cross"], c["v_cross"],
+                                     dim_key, beam[0])
+        else:
+            out = _attend(q, c["k_cross"], c["v_cross"], dim_key, None)
         out = out.reshape(B, num_heads * dim_value)
         out = L.dense(ea["out"], out.astype(dtype), dtype).astype(jnp.float32)
         x = L.layer_norm(ea["ln"], out + residual)
