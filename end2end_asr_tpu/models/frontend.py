@@ -37,22 +37,31 @@ def _init_conv(key, kh: int, kw: int, c_in: int, c_out: int) -> Params:
     }
 
 
-def _conv(p: Params, x: jnp.ndarray, stride: Tuple[int, int],
-          padding, dtype=jnp.bfloat16) -> jnp.ndarray:
+def _conv_nobias(p: Params, x: jnp.ndarray, stride: Tuple[int, int],
+                 padding, dtype=jnp.bfloat16) -> jnp.ndarray:
     # compute-dtype in/out (XLA's TPU conv accumulates f32 internally for
     # bf16 inputs); preferred_element_type upcasting breaks the transpose
     # rule under grad with mixed dtypes
-    y = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x.astype(dtype), p["w"].astype(dtype),
         window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _conv(p: Params, x: jnp.ndarray, stride: Tuple[int, int],
+          padding, dtype=jnp.bfloat16) -> jnp.ndarray:
+    y = _conv_nobias(p, x, stride, padding, dtype)
     return y + p["b"].astype(y.dtype)
 
 
 def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
-    # NOTE: measured on v5e — reduce_window beats the reshape+max
-    # formulation here (409 vs 354 utt/s/chip end-to-end); XLA's TPU
-    # select-and-scatter backward is not the bottleneck at these shapes.
+    # Measured on v5e (flagship train step, utt/s/chip end-to-end):
+    # reduce_window 512 > packed space-to-depth conv2 (two time phases
+    # as 128 channels + channel-half max, exact) 489 > reshape+max ~440
+    # (odd-size reshape breaks tiling) > strided-view max 263 (sublane
+    # strided slices are pathological); a custom equality-mask vjp
+    # (jnp.repeat upsample) also LOST to select_and_scatter (430 vs
+    # 512). Keep reduce_window.
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
@@ -123,12 +132,21 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
 
     x = spect[..., None]  # (B, F, T, 1)
     if feat_extractor == "vgg_cnn":
+        # pool2(relu(conv + b)) ≡ relu(pool2(conv) + b): max commutes
+        # with the monotone bias-add/relu, so the bias and relu that
+        # precede each pool run on the 4×-smaller pooled tensor instead
+        # of at full resolution (the full-res elementwise passes ran at
+        # ~15% of HBM bandwidth on v5e — the 64-channel minor dim wastes
+        # half the vector lanes). Numerically identical to the reference
+        # ordering (transformer.py:36-44); measured 460 → 512 utt/s/chip.
         x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME", dtype))
-        x = jax.nn.relu(_conv(params["conv2"], x, (1, 1), "SAME", dtype))
-        x = _max_pool2(x)
+        x = _conv_nobias(params["conv2"], x, (1, 1), "SAME", dtype)
+        x = jax.nn.relu(_max_pool2(x)
+                        + params["conv2"]["b"].astype(x.dtype))
         x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME", dtype))
-        x = jax.nn.relu(_conv(params["conv4"], x, (1, 1), "SAME", dtype))
-        x = _max_pool2(x)
+        x = _conv_nobias(params["conv4"], x, (1, 1), "SAME", dtype)
+        x = jax.nn.relu(_max_pool2(x)
+                        + params["conv4"]["b"].astype(x.dtype))
         new_state = state
     else:  # emb_cnn
         # Conv2d(1→32, (41,11), stride (2,2), padding (0,10)) — torch pads

@@ -93,17 +93,24 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
         (loss, (pred, gold, new_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
 
-        def apply(_):
-            return adam_noam_update(params, grads, opt_state,
-                                    noam, clip=cfg.clip,
-                                    max_norm=cfg.max_norm)
-
-        def skip(_):
-            # Inf/NaN loss: skip the batch entirely (trainer.py:87-90)
-            return params, opt_state, noam_rate(opt_state["step"] + 1, noam)
-
+        # Inf/NaN loss → skip the batch (trainer.py:87-90). Per-leaf
+        # selects instead of lax.cond: the TPU conditional materialized
+        # copies of every param/opt buffer (~1.7 ms/step); the selects
+        # fuse into the Adam update (garbage updates from non-finite
+        # grads are discarded by the select, never applied).
         finite = jnp.isfinite(loss)
-        new_params, new_opt, lr = jax.lax.cond(finite, apply, skip, None)
+        upd_params, upd_opt, upd_lr = adam_noam_update(
+            params, grads, opt_state, noam, clip=cfg.clip,
+            max_norm=cfg.max_norm)
+
+        def pick(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(finite, n, o), new, old)
+
+        new_params = pick(upd_params, params)
+        new_opt = pick(upd_opt, opt_state)
+        lr = jnp.where(finite, upd_lr,
+                       noam_rate(opt_state["step"] + 1, noam))
 
         hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
         metrics = {
