@@ -88,6 +88,28 @@ def main():
 
     n_chips = max(1, len(jax.devices()))
     utts_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips
+    ms_per_step = dt / MEASURE_STEPS * 1000
+
+    # XLA's own FLOP count for the compiled step → achieved TFLOP/s and
+    # MFU against v5e's 197 TFLOP/s bf16 peak (so the headline survives
+    # skepticism about the estimated A100 baseline on its own numbers)
+    tflops_per_step = None
+    try:
+        cost = step.lower(
+            params, opt_state, state, rng, pcm, n_frames, targets,
+            tgt_lengths, spect_T=T_FRAMES).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            tflops_per_step = float(cost["flops"]) / 1e12
+    except Exception:
+        pass
+    extras = {"ms_per_step": round(ms_per_step, 2)}
+    if tflops_per_step:
+        achieved = tflops_per_step / (ms_per_step / 1000)
+        extras.update(
+            step_tflop=round(tflops_per_step, 3),
+            achieved_tflops=round(achieved, 1),
+            mfu_pct_vs_v5e_bf16_peak=round(achieved / 197.0 * 100, 1))
+
     print(json.dumps({
         "metric": "utterances/sec/chip (train, AiShell README config, "
                   "800-frame bucket, incl. on-device features)",
@@ -95,6 +117,7 @@ def main():
         "unit": "utt/s/chip",
         "vs_baseline": round(
             utts_per_sec_per_chip / A100_BASELINE_UTTS_PER_SEC, 3),
+        **extras,
     }))
 
 

@@ -67,6 +67,33 @@ def test_pallas_kernel_matches_xla_featurizer():
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
 
 
+def test_pallas_golden_from_real_tpu():
+    """Interpret-mode Pallas numerics locked to a committed REAL-TPU run
+    (tests/data/pallas_features_golden.npz, captured on v5e by
+    tools/capture_pallas_golden.py). Regresses both directions: a kernel
+    change that diverges on-chip fails when the golden is recaptured; a
+    change that breaks interpret-vs-chip agreement fails here."""
+    import os
+    from tools.capture_pallas_golden import (GOLDEN, HOP as G_HOP,
+                                             N_FFT as G_NFFT, golden_input)
+    if not os.path.exists(GOLDEN):
+        pytest.skip("no committed real-TPU golden")
+    data = np.load(GOLDEN, allow_pickle=True)
+    golden = data["features"]
+    pcm, frames, T = golden_input()
+    got = np.asarray(batched_features_pallas(
+        jnp.asarray(pcm), jnp.asarray(frames), G_NFFT, G_HOP, "hamming",
+        T_out=T, normalize=True))
+    assert got.shape == golden.shape
+    # the chip's f32 jnp.dot runs MXU default precision (bf16 multiply
+    # passes), so real-TPU DFT magnitudes differ from the interpreter's
+    # exact f32 at ~1e-2 after log1p+normalize; the committed golden had
+    # max |diff| 0.037 (28% of elements beyond 2e-3). The tolerance locks
+    # that envelope — real regressions (wrong frames/windows/normalize)
+    # are orders of magnitude larger.
+    np.testing.assert_allclose(got, golden, rtol=5e-2, atol=6e-2)
+
+
 def test_num_frames_matches_oracle():
     for n in (1600, 1601, 4799, 4800):
         y = np.zeros(n, np.float32)
