@@ -36,6 +36,20 @@ LIBRI_SPEECH_URLS = {
 
 
 def _flac_to_wav(flac_path: str, wav_path: str, sample_rate: int) -> None:
+    with open(flac_path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        # actually a WAV (some mirrors/preprocessed corpora ship wav under
+        # the .flac name; also the offline test path): decode in-process
+        import wave
+
+        from end2end_asr_tpu.data.audio import (load_audio, resample,
+                                                save_wav)
+        with wave.open(flac_path, "rb") as w:
+            sr = w.getframerate()
+        save_wav(wav_path, resample(load_audio(flac_path), sr, sample_rate),
+                 sample_rate)
+        return
     try:
         import soundfile as sf
         data, sr = sf.read(flac_path)
