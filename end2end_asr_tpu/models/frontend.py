@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from end2end_asr_tpu.models.layers import xavier_uniform, torch_bias_uniform
+from end2end_asr_tpu.ops.pool_vjp import max_pool2
 
 Params = Dict[str, object]
 
@@ -61,11 +62,35 @@ def _max_pool2(x: jnp.ndarray) -> jnp.ndarray:
     # (odd-size reshape breaks tiling) > strided-view max 263 (sublane
     # strided slices are pathological); a custom equality-mask vjp
     # (jnp.repeat upsample) also LOST to select_and_scatter (430 vs
-    # 512). Keep reduce_window.
+    # 512). Keep reduce_window. (The vgg path no longer calls this at
+    # all — see _conv_pool_relu's phase-conv formulation.)
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
         padding="VALID")
+
+
+def _conv_pool_relu(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """relu(maxpool2x2(conv_SAME(x, w)) + b).
+
+    Measured dead-ends (do NOT redo):
+    - Splitting the conv into its four pool phases as stride-2 convs
+      with explicit first-wins masks wins standalone (12.8 -> 9.9 ms
+      fwd+bwd for the 64x64 block on v5e) but LOSES in the full train
+      step (28.3 -> 34.8 ms): XLA materializes the full-res input-grad
+      once per phase (4x 198 MB) instead of fusing the four dilated
+      transposed convs.
+    - The Pallas scatter backward used here (ops/pool_vjp.py) is itself
+      2.2x faster than XLA's select_and_scatter (1.3 vs 2.9 ms) but the
+      win is eaten by boundary taxes: XLA relayouts the conv output
+      {3,0,2,1}->{3,2,1,0} (1.4 ms) and un-fuses the pool-side reshapes
+      (2x ~1 ms) around the custom call. Net in-step: ~even (28.3 ->
+      28.8 ms). It stays because the parity tests pin its semantics and
+      it is the stepping stone for the fused block kernel.
+    """
+    y = _conv_nobias(p, x, (1, 1), "SAME", dtype)
+    y = max_pool2(y)
+    return jax.nn.relu(y + p["b"].astype(y.dtype))
 
 
 def _init_bn(c: int) -> Tuple[Params, Params]:
@@ -139,14 +164,13 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
         # ~15% of HBM bandwidth on v5e — the 64-channel minor dim wastes
         # half the vector lanes). Numerically identical to the reference
         # ordering (transformer.py:36-44); measured 460 → 512 utt/s/chip.
+        # The conv+pool pairs then split into stride-2 phase convs
+        # (_conv_pool_relu) so the pool backward needs no
+        # select_and_scatter.
         x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME", dtype))
-        x = _conv_nobias(params["conv2"], x, (1, 1), "SAME", dtype)
-        x = jax.nn.relu(_max_pool2(x)
-                        + params["conv2"]["b"].astype(x.dtype))
+        x = _conv_pool_relu(params["conv2"], x, dtype)
         x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME", dtype))
-        x = _conv_nobias(params["conv4"], x, (1, 1), "SAME", dtype)
-        x = jax.nn.relu(_max_pool2(x)
-                        + params["conv4"]["b"].astype(x.dtype))
+        x = _conv_pool_relu(params["conv4"], x, dtype)
         new_state = state
     else:  # emb_cnn
         # Conv2d(1→32, (41,11), stride (2,2), padding (0,10)) — torch pads
