@@ -100,6 +100,18 @@ def main():
             tgt_lengths, spect_T=T_FRAMES).compile().cost_analysis()
         if cost and cost.get("flops"):
             tflops_per_step = float(cost["flops"]) / 1e12
+            # XLA's analysis cannot see inside the fused vgg-block1
+            # Pallas kernel (ops/vgg_fused.py); add its known conv FLOPs
+            # (conv1+conv2 fwd, + dW2 + dx1 + conv1 replay/dW1 bwd)
+            # so MFU stays comparable with the pre-kernel accounting.
+            from end2end_asr_tpu.models.frontend import _use_fused_block1
+            import jax.numpy as jnp
+            F = cfg.n_freq
+            if cfg.feat_extractor == "vgg_cnn" and _use_fused_block1(
+                    jnp.zeros((BATCH, F, T_FRAMES))):
+                conv1 = 2 * BATCH * F * T_FRAMES * 64 * 9
+                conv2 = 2 * BATCH * F * T_FRAMES * 64 * 64 * 9
+                tflops_per_step += (3 * (conv1 + conv2) + conv1) / 1e12
     except Exception:
         pass
     extras = {"ms_per_step": round(ms_per_step, 2)}

@@ -49,7 +49,9 @@ POOL_FACTOR = 4
 def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
                        W: int, n_steps: int, force_eos: bool,
                        pool_factor: int = POOL_FACTOR):
-    """Returns (pool_tokens (B,P,L), pool_scores (B,P), pool_lens (B,P)).
+    """Returns (pool_tokens (B,P,L), pool_scores (B,P), pool_lens (B,P),
+    unfinished (B,) bool — True when the step cap was hit with alive
+    hypotheses remaining, i.e. the pool may be incomplete vs a longer run).
 
     L = n_steps + 2 (SOS + n_steps tokens + forced EOS slot). Invalid pool
     entries have score <= NEG/2. `pool_factor` bounds the finished pool at
@@ -156,6 +158,7 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
     carry = jax.lax.while_loop(cond, step, carry)
     (_, tokens, scores, alive, anc, cache, pool_t, pool_s,
      pool_l) = carry
+    unfinished = jnp.any(alive, axis=1)
 
     if force_eos:
         # transformer.py:464-467: surviving hyps get EOS appended (no
@@ -166,7 +169,7 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         pool_t, pool_s, pool_l = insert_pool(
             pool_t, pool_s, pool_l, forced_t, forced_s, forced_l)
 
-    return pool_t, pool_s, pool_l
+    return pool_t, pool_s, pool_l, unfinished
 
 
 class Hyp(NamedTuple):
@@ -184,12 +187,14 @@ class BeamDecoder:
 
     def __init__(self, cfg: Config, dims: ModelDims,
                  id2label: Dict[int, str], lm=None,
-                 pool_factor: int = POOL_FACTOR):
+                 pool_factor: int = POOL_FACTOR, stage_len: int = 64):
         self.cfg = cfg
         self.dims = dims
         self.id2label = id2label
         self.lm = lm
         self.pool_factor = pool_factor
+        # short-cache first stage for decode_nbest (0 disables)
+        self.stage_len = stage_len
 
     def _final_score(self, ids: np.ndarray, raw_score: float,
                      length: int) -> Tuple[float, str]:
@@ -222,9 +227,24 @@ class BeamDecoder:
         # tgt_max_len bounds the positional table (decoder.py pe)
         n_steps = min(cfg.decode_max_len, T_enc, cfg.tgt_max_len - 1)
         force = T_enc <= cfg.decode_max_len
-        pool_t, pool_s, pool_l = beam_search_device(
-            params, enc_out, self.dims, cfg.beam_width, n_steps, force,
-            pool_factor=self.pool_factor)
+        # exact two-stage search: per-step cost scales with the KV cache
+        # length, so run with a short cache first; if any utterance still
+        # had alive hypotheses at the short cap (rare at the reference's
+        # typical 20-50 step outputs), re-run everything at full length.
+        # Stage 1 is exact when it suffices: cache length is numerically
+        # inert and a search whose beams all retired before the cap has
+        # the same finished pool at any longer length.
+        pool_t = pool_s = pool_l = None
+        if self.stage_len and self.stage_len < n_steps:
+            pool_t, pool_s, pool_l, unfin = beam_search_device(
+                params, enc_out, self.dims, cfg.beam_width,
+                self.stage_len, False, pool_factor=self.pool_factor)
+            if bool(np.any(np.asarray(unfin))):
+                pool_t = None
+        if pool_t is None:
+            pool_t, pool_s, pool_l, _ = beam_search_device(
+                params, enc_out, self.dims, cfg.beam_width, n_steps, force,
+                pool_factor=self.pool_factor)
         pool_t = np.asarray(pool_t)
         pool_s = np.asarray(pool_s)
         pool_l = np.asarray(pool_l)

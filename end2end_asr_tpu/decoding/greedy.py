@@ -65,6 +65,32 @@ def greedy_decode(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
     return out
 
 
+def greedy_decode_progressive(params: Dict, enc_out: jnp.ndarray,
+                              dims: ModelDims, max_len: int = 300,
+                              stage_len: int = 64) -> jnp.ndarray:
+    """Exact two-stage greedy: decode with a short KV cache first and
+    re-run at full length only if some utterance never emitted EOS.
+
+    The cache length is numerically inert (attention is masked to
+    positions <= t), so tokens before the first EOS are identical at any
+    max_len — stage 1 is exact for every utterance that finishes within
+    stage_len steps, which at the reference's typical 20-50 step outputs
+    is nearly all of them. Per-step cost scales with cache length, so
+    this cuts the common case ~(max_len/stage_len)x while the worst case
+    pays one extra short pass. Returns (B, max_len) like greedy_decode.
+    """
+    import numpy as np
+    if stage_len >= max_len:
+        return greedy_decode(params, enc_out, dims, max_len=max_len)
+    ids1 = greedy_decode(params, enc_out, dims, max_len=stage_len)
+    finished = np.asarray((ids1 == EOS_TOKEN).any(axis=1))
+    if finished.all():
+        pad = jnp.full((ids1.shape[0], max_len - stage_len), EOS_TOKEN,
+                       jnp.int32)
+        return jnp.concatenate([ids1, pad], axis=1)
+    return greedy_decode(params, enc_out, dims, max_len=max_len)
+
+
 def ids_to_strings(ids, id2label: Dict[int, str]) -> List[str]:
     """Host-side: chars until the first EOS (exclusive), like
     transformer.py:385-394. The learned leading SOS char stays in the

@@ -12,7 +12,8 @@ from typing import Dict
 import numpy as np
 
 from end2end_asr_tpu.config import Config, EOS_CHAR, PAD_CHAR, SOS_CHAR
-from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+from end2end_asr_tpu.decoding.greedy import (greedy_decode_progressive,
+                                             ids_to_strings)
 from end2end_asr_tpu.models.transformer import dims_from_config
 from end2end_asr_tpu.training.steps import make_encode_fn
 from end2end_asr_tpu.training.trainer import ids_to_string_until_pad
@@ -76,7 +77,8 @@ def evaluate(params, model_state, cfg: Config, test_loader,
             hyps = beam.decode(params, enc_out)
         else:
             max_len = min(cfg.decode_max_len, cfg.tgt_max_len)
-            ids = greedy_decode(params, enc_out, dims, max_len=max_len)
+            ids = greedy_decode_progressive(params, enc_out, dims,
+                                            max_len=max_len)
             hyps = ids_to_strings(ids, id2label)
 
         for hyp_raw, gold_raw in zip(hyps, golds):

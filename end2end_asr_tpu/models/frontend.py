@@ -21,6 +21,12 @@ import jax.numpy as jnp
 
 from end2end_asr_tpu.models.layers import xavier_uniform, torch_bias_uniform
 from end2end_asr_tpu.ops.pool_vjp import max_pool2
+from end2end_asr_tpu.ops.vgg_fused import vgg_block1, supported as _block1_shapes_ok
+
+
+def _use_fused_block1(spect: jnp.ndarray) -> bool:
+    _, F, T = spect.shape
+    return jax.default_backend() != "cpu" and _block1_shapes_ok(F, T)
 
 Params = Dict[str, object]
 
@@ -167,8 +173,20 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
         # The conv+pool pairs then split into stride-2 phase convs
         # (_conv_pool_relu) so the pool backward needs no
         # select_and_scatter.
-        x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME", dtype))
-        x = _conv_pool_relu(params["conv2"], x, dtype)
+        if _use_fused_block1(spect):
+            # fused Pallas conv1+relu+conv2+pool+bias+relu
+            # (ops/vgg_fused.py): the full-resolution block never
+            # round-trips HBM and its custom VJP emits only the four
+            # weight grads. Compiled path only — the interpreter would
+            # be ~100x slower than the composite on CPU (the kernel is
+            # pinned against this composite by tests/test_vgg_fused.py).
+            x = vgg_block1(spect, params["conv1"]["w"],
+                           params["conv1"]["b"], params["conv2"]["w"],
+                           params["conv2"]["b"], dtype)
+        else:
+            x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME",
+                                  dtype))
+            x = _conv_pool_relu(params["conv2"], x, dtype)
         x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME", dtype))
         x = _conv_pool_relu(params["conv4"], x, dtype)
         new_state = state

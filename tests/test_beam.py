@@ -30,7 +30,7 @@ def _setup():
 def test_eos_forcing_fills_pool():
     params, dims, enc = _setup()
     T_enc = enc.shape[1]
-    pool_t, pool_s, pool_l = beam_search_device(
+    pool_t, pool_s, pool_l, _ = beam_search_device(
         params, enc, dims, W=3, n_steps=T_enc, force_eos=True)
     pool_t, pool_s, pool_l = map(np.asarray, (pool_t, pool_s, pool_l))
     for b in range(2):

@@ -1,0 +1,131 @@
+"""Fused vgg block1 Pallas kernel vs the composite XLA path.
+
+The composite oracle is exactly what models/frontend.py's unfused vgg
+path computes for conv1->relu->conv2->pool->bias->relu (reference
+models/asr/transformer.py:36-44). The fused kernel must match its
+forward and produce the same w1/b1/w2/b2 cotangents (the spectrogram
+cotangent is not needed: the featurizer upstream has no parameters).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from end2end_asr_tpu.ops.vgg_fused import vgg_block1, supported
+from end2end_asr_tpu.ops.pool_vjp import max_pool2
+
+
+def composite(spect, w1, b1, w2, b2, cdt):
+    x = spect[..., None].astype(cdt)
+    y = jax.lax.conv_general_dilated(
+        x, w1.astype(cdt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x1 = jax.nn.relu(y + b1.astype(y.dtype))
+    y2 = jax.lax.conv_general_dilated(
+        x1, w2.astype(cdt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    p = max_pool2(y2)
+    return jax.nn.relu(p + b2.astype(p.dtype))
+
+
+def _mk(B, F, T, seed=0):
+    rng = np.random.RandomState(seed)
+    spect = jnp.asarray(rng.randn(B, F, T), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 1, 64) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    return spect, w1, b1, w2, b2
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 17, 16),
+                                   (1, 33, 32)])
+def test_forward_matches_composite_f32(shape):
+    args = _mk(*shape)
+    out_f = np.asarray(vgg_block1(*args, jnp.float32))
+    out_c = np.asarray(composite(*args, jnp.float32))
+    assert out_f.shape == out_c.shape
+    np.testing.assert_allclose(out_f, out_c, rtol=1e-5, atol=1e-5)
+
+
+def test_forward_matches_composite_bf16():
+    args = _mk(2, 16, 16, seed=3)
+    out_f = np.asarray(vgg_block1(*args, jnp.bfloat16).astype(jnp.float32))
+    out_c = np.asarray(composite(*args, jnp.bfloat16).astype(jnp.float32))
+    # bf16 conv accumulation order differs; values must agree to bf16 ulp
+    np.testing.assert_allclose(out_f, out_c, rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16), (1, 17, 16)])
+def test_grads_match_composite_f32(shape):
+    args = _mk(*shape, seed=1)
+    gup = jnp.asarray(
+        np.random.RandomState(9).randn(args[0].shape[0], shape[1] // 2,
+                                       shape[2] // 2, 64), jnp.float32)
+
+    def loss_fused(w1, b1, w2, b2):
+        return jnp.sum(vgg_block1(args[0], w1, b1, w2, b2,
+                                  jnp.float32).astype(jnp.float32) * gup)
+
+    def loss_comp(w1, b1, w2, b2):
+        return jnp.sum(composite(args[0], w1, b1, w2, b2,
+                                 jnp.float32).astype(jnp.float32) * gup)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args[1:])
+    gc = jax.grad(loss_comp, argnums=(0, 1, 2, 3))(*args[1:])
+    for name, a, b in zip(["w1", "b1", "w2", "b2"], gf, gc):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=2e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_grads_bf16_reasonable():
+    args = _mk(2, 16, 16, seed=2)
+    gup = jnp.ones((2, 8, 8, 64), jnp.float32)
+
+    def loss(f):
+        def inner(w1, b1, w2, b2):
+            return jnp.sum(f(args[0], w1, b1, w2, b2,
+                             jnp.bfloat16).astype(jnp.float32) * gup)
+        return inner
+
+    gf = jax.grad(loss(vgg_block1), argnums=(0, 1, 2, 3))(*args[1:])
+    gc = jax.grad(loss(composite), argnums=(0, 1, 2, 3))(*args[1:])
+    for name, a, b in zip(["w1", "b1", "w2", "b2"], gf, gc):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        rel = np.abs(a - b) / scale
+        # Two benign divergences in bf16 mode: (a) the composite path
+        # rounds intermediate gradients to bf16 while the kernel
+        # accumulates f32 (~1% systematic), and (b) bf16 accumulation
+        # order differs, so near-tied pool windows can pick different
+        # (equally valid) winners, moving O(1) gradient between adjacent
+        # taps in a few entries. Bulk must agree to bf16 ulp; outliers
+        # must be rare.
+        assert np.quantile(rel, 0.99) < 0.03, name
+        assert (rel > 0.05).mean() < 0.005, name
+
+
+def test_under_jit_scan():
+    args = _mk(1, 16, 8, seed=4)
+
+    @jax.jit
+    def f(w2):
+        def body(acc, _):
+            out = vgg_block1(args[0], args[1], args[2], w2, args[4],
+                             jnp.float32)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(2))[0]
+
+    v = float(f(args[3]))
+    assert np.isfinite(v)
+
+
+def test_supported_gate():
+    assert supported(161, 800)          # flagship
+    assert supported(16, 16) and supported(17, 16)
+    assert not supported(10, 16)        # Fp=5: no CH%4 divisor
+    assert not supported(16, 15)        # odd T
+    assert not supported(6, 16)         # too few rows

@@ -37,7 +37,8 @@ def main(argv=None):
     from end2end_asr_tpu.data.audio import load_audio
     from end2end_asr_tpu.data.features import num_frames
     from end2end_asr_tpu.data.loader import pick_bucket
-    from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+    from end2end_asr_tpu.decoding.greedy import (
+        greedy_decode_progressive, ids_to_strings)
     from end2end_asr_tpu.models.transformer import dims_from_config
     from end2end_asr_tpu.ops.features import reflect_pad_pcm
     from end2end_asr_tpu.training.checkpoint import load_checkpoint
@@ -75,9 +76,9 @@ def main(argv=None):
         if beam is not None:
             text = beam.decode(params, enc_out)[0]
         else:
-            ids = greedy_decode(params, enc_out, dims,
-                                max_len=min(cfg.decode_max_len,
-                                            cfg.tgt_max_len))
+            ids = greedy_decode_progressive(
+                params, enc_out, dims,
+                max_len=min(cfg.decode_max_len, cfg.tgt_max_len))
             text = ids_to_strings(ids, id2label)[0]
         print(f"{path}\t{strip_specials(text).strip()}")
 
