@@ -21,7 +21,11 @@ import jax.numpy as jnp
 
 from end2end_asr_tpu.models.layers import xavier_uniform, torch_bias_uniform
 from end2end_asr_tpu.ops.pool_vjp import max_pool2
-from end2end_asr_tpu.ops.vgg_fused import vgg_block1, supported as _block1_shapes_ok
+from end2end_asr_tpu.ops.vgg_fused import (BLOCK2_ENABLED as _BLOCK2_ENABLED,
+                                           vgg_block1, vgg_block1_t,
+                                           vgg_block2,
+                                           supported as _block1_shapes_ok,
+                                           supported2 as _block2_shapes_ok)
 
 
 def _use_fused_block1(spect: jnp.ndarray) -> bool:
@@ -173,13 +177,29 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
         # The conv+pool pairs then split into stride-2 phase convs
         # (_conv_pool_relu) so the pool backward needs no
         # select_and_scatter.
-        if _use_fused_block1(spect):
-            # fused Pallas conv1+relu+conv2+pool+bias+relu
-            # (ops/vgg_fused.py): the full-resolution block never
-            # round-trips HBM and its custom VJP emits only the four
-            # weight grads. Compiled path only — the interpreter would
-            # be ~100x slower than the composite on CPU (the kernel is
-            # pinned against this composite by tests/test_vgg_fused.py).
+        # Fused Pallas path (ops/vgg_fused.py): conv1+relu+conv2+pool and
+        # conv3+relu+conv4+pool each run as one kernel whose custom VJP
+        # emits weight grads (and, for block2, the input grad) — nothing
+        # full-resolution round-trips HBM. Compiled backends only — the
+        # interpreter would be ~100x slower than the composite on CPU
+        # (the kernels are pinned against this composite by
+        # tests/test_vgg_fused.py).
+        fused1 = _use_fused_block1(spect)
+        F2, T2 = spect.shape[1] // 2, spect.shape[2] // 2
+        fused2 = (fused1 and _BLOCK2_ENABLED
+                  and _block2_shapes_ok(F2, T2))
+        if fused2:
+            x_t = vgg_block1_t(spect, params["conv1"]["w"],
+                               params["conv1"]["b"], params["conv2"]["w"],
+                               params["conv2"]["b"], dtype)
+            y_t = vgg_block2(x_t, params["conv3"]["w"],
+                             params["conv3"]["b"], params["conv4"]["w"],
+                             params["conv4"]["b"], dtype)
+            # (B, F', C, T') -> (B, T', C*F') with feature = c*F' + f
+            B, Fp, C_, Tp = y_t.shape
+            x = jnp.transpose(y_t, (0, 3, 2, 1)).reshape(B, Tp, C_ * Fp)
+            return x.astype(jnp.float32), state
+        if fused1:
             x = vgg_block1(spect, params["conv1"]["w"],
                            params["conv1"]["b"], params["conv2"]["w"],
                            params["conv2"]["b"], dtype)

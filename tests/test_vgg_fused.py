@@ -129,3 +129,114 @@ def test_supported_gate():
     assert not supported(10, 16)        # Fp=5: no CH%4 divisor
     assert not supported(16, 15)        # odd T
     assert not supported(6, 16)         # too few rows
+
+
+# ---------------------------------------------------------------------------
+# Block 2
+# ---------------------------------------------------------------------------
+
+from end2end_asr_tpu.ops.vgg_fused import (vgg_block1_t, vgg_block2,
+                                           supported2)
+
+
+def composite2(x_nhwc, w3, b3, w4, b4, cdt):
+    y = jax.lax.conv_general_dilated(
+        x_nhwc.astype(cdt), w3.astype(cdt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x2 = jax.nn.relu(y + b3.astype(y.dtype))
+    y2 = jax.lax.conv_general_dilated(
+        x2, w4.astype(cdt), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    p = max_pool2(y2)
+    return jax.nn.relu(p + b4.astype(p.dtype))
+
+
+def _mk2(B, F, T, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, F, 64, T) * 0.5, jnp.float32)  # transposed
+    w3 = jnp.asarray(rng.randn(3, 3, 64, 128) * 0.05, jnp.float32)
+    b3 = jnp.asarray(rng.randn(128) * 0.1, jnp.float32)
+    w4 = jnp.asarray(rng.randn(3, 3, 128, 128) * 0.04, jnp.float32)
+    b4 = jnp.asarray(rng.randn(128) * 0.1, jnp.float32)
+    return x, w3, b3, w4, b4
+
+
+def _to_nhwc(x_t):
+    return jnp.transpose(x_t, (0, 1, 3, 2))
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 16), (1, 12, 16), (1, 16, 32)])
+def test_block2_forward_matches_composite_f32(shape):
+    x, w3, b3, w4, b4 = _mk2(*shape)
+    out_t = vgg_block2(x, w3, b3, w4, b4, jnp.float32)
+    out_f = np.asarray(_to_nhwc(out_t))
+    out_c = np.asarray(composite2(_to_nhwc(x), w3, b3, w4, b4, jnp.float32))
+    assert out_f.shape == out_c.shape
+    np.testing.assert_allclose(out_f, out_c, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 16), (1, 12, 16)])
+def test_block2_grads_match_composite_f32(shape):
+    x, w3, b3, w4, b4 = _mk2(*shape, seed=1)
+    B, F, _, T = x.shape
+    gup = jnp.asarray(np.random.RandomState(9).randn(
+        B, F // 2, T // 2, 128), jnp.float32)
+
+    def loss_fused(x, w3, b3, w4, b4):
+        return jnp.sum(_to_nhwc(vgg_block2(
+            x, w3, b3, w4, b4, jnp.float32)).astype(jnp.float32) * gup)
+
+    def loss_comp(x, w3, b3, w4, b4):
+        return jnp.sum(composite2(_to_nhwc(x), w3, b3, w4, b4,
+                                  jnp.float32).astype(jnp.float32) * gup)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w3, b3, w4, b4)
+    gc = jax.grad(loss_comp, argnums=(0, 1, 2, 3, 4))(x, w3, b3, w4, b4)
+    for name, a, b in zip(["x", "w3", "b3", "w4", "b4"], gf, gc):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=3e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_full_fused_chain_matches_composites_f32():
+    """block1_t -> block2 == the two composite blocks chained (the exact
+    unfused frontend path), forward and every weight grad."""
+    rng = np.random.RandomState(5)
+    spect = jnp.asarray(rng.randn(1, 16, 32), jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 1, 64) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.randn(3, 3, 64, 64) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+    _, w3, b3, w4, b4 = _mk2(1, 8, 16, seed=6)
+    gup = jnp.asarray(rng.randn(1, 4, 8, 128), jnp.float32)
+
+    def loss_fused(w1, b1, w2, b2, w3, b3, w4, b4):
+        x_t = vgg_block1_t(spect, w1, b1, w2, b2, jnp.float32)
+        y_t = vgg_block2(x_t, w3, b3, w4, b4, jnp.float32)
+        return jnp.sum(_to_nhwc(y_t).astype(jnp.float32) * gup)
+
+    def loss_comp(w1, b1, w2, b2, w3, b3, w4, b4):
+        y1 = composite(spect, w1, b1, w2, b2, jnp.float32)
+        y2 = composite2(y1, w3, b3, w4, b4, jnp.float32)
+        return jnp.sum(y2.astype(jnp.float32) * gup)
+
+    args = (w1, b1, w2, b2, w3, b3, w4, b4)
+    np.testing.assert_allclose(float(loss_fused(*args)),
+                               float(loss_comp(*args)), rtol=1e-5)
+    gf = jax.grad(loss_fused, argnums=tuple(range(8)))(*args)
+    gc = jax.grad(loss_comp, argnums=tuple(range(8)))(*args)
+    names = ["w1", "b1", "w2", "b2", "w3", "b3", "w4", "b4"]
+    for name, a, b in zip(names, gf, gc):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, rtol=0, atol=5e-5,
+                                   err_msg=f"d{name}")
+
+
+def test_supported2_gate():
+    assert supported2(80, 400)           # flagship post-block1
+    assert supported2(8, 16)
+    assert not supported2(9, 16)         # odd F
+    assert not supported2(8, 15)         # odd T
+    assert not supported2(2, 16)         # too few rows
