@@ -161,6 +161,9 @@ class Config:
     # capture a jax.profiler trace of the first training epoch into this
     # directory (view with TensorBoard/xprof); empty = off
     trace_dir: str = ""
+    # checkpoint serialization: "npz" (single-host .npz/.json pair) or
+    # "orbax" (sharded multi-host-safe orbax.checkpoint directory)
+    checkpoint_format: str = "npz"
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -308,6 +311,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch "
                         "into this directory")
+    p.add_argument("--checkpoint-format", default="npz",
+                   choices=["npz", "orbax"],
+                   help="checkpoint serialization: npz pair (default) or "
+                        "an orbax.checkpoint directory (multi-host-safe "
+                        "sharded save/restore)")
     return p
 
 

@@ -11,6 +11,15 @@ else). Layout on disk matches the reference:
 
 A converter for the reference's torch .th checkpoints lives in
 tools/convert_reference_checkpoint.py.
+
+Formats: the default `npz` pair above, or `orbax` (--checkpoint-format
+orbax): pytrees stored through orbax.checkpoint's StandardCheckpointer
+in `<base>.orbax/` with the same `<base>.json` meta sidecar. Orbax
+writes each process's addressable shards directly (multi-host safe, no
+gather-to-host-0) and restores with the arrays' current shardings —
+the right format on pods or at very large vocab/model sizes. Loading
+auto-detects the format, so checkpoints of either kind are drop-in for
+--continue-from / --auto-resume / test.py.
 """
 
 from __future__ import annotations
@@ -72,7 +81,8 @@ def find_latest_checkpoint(save_folder: str, name: str) -> Optional[str]:
     best, best_epoch = None, -1
     for f in os.listdir(d):
         m = re.fullmatch(r"epoch_(\d+)\.json", f)
-        if m and os.path.exists(os.path.join(d, f[:-5] + ".npz")):
+        if m and (os.path.exists(os.path.join(d, f[:-5] + ".npz"))
+                  or os.path.isdir(os.path.join(d, f[:-5] + ".orbax"))):
             e = int(m.group(1))
             if e > best_epoch:
                 best_epoch = e
@@ -90,8 +100,13 @@ def checkpoint_paths(save_folder: str, name: str, epoch: Optional[int],
 def save_checkpoint(base_path: str, cfg: Config, epoch: int,
                     params, opt_state, model_state,
                     label2id: Dict[str, int], id2label: Dict[int, str],
-                    metrics: Optional[Dict] = None) -> None:
+                    metrics: Optional[Dict] = None,
+                    fmt: str = "npz") -> None:
     os.makedirs(os.path.dirname(base_path), exist_ok=True)
+    if fmt == "orbax":
+        _save_orbax(base_path, params, opt_state, model_state)
+        _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)
+        return
     arrays = {}
     arrays.update({"params" + SEP + k: v
                    for k, v in flatten_tree(params).items()})
@@ -100,6 +115,10 @@ def save_checkpoint(base_path: str, cfg: Config, epoch: int,
     arrays.update({"state" + SEP + k: v
                    for k, v in flatten_tree(model_state or {}).items()})
     np.savez(base_path + ".npz", **arrays)
+    _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)
+
+
+def _write_meta(base_path, cfg, epoch, label2id, id2label, metrics):
     meta = {
         "args": cfg.to_dict(),
         "epoch": epoch,
@@ -112,6 +131,26 @@ def save_checkpoint(base_path: str, cfg: Config, epoch: int,
         json.dump(meta, f, ensure_ascii=False)
 
 
+def _save_orbax(base_path: str, params, opt_state, model_state) -> None:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(base_path + ".orbax")
+    tree = {"params": params, "opt": opt_state or {},
+            "state": model_state or {}}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def _load_orbax(base_path: str):
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(base_path + ".orbax")
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    params = tree.get("params")
+    opt_state = tree.get("opt") or None
+    model_state = tree.get("state") or {}
+    return params, opt_state, model_state
+
+
 def load_checkpoint(base_path: str):
     """Returns (cfg, epoch, params, opt_state, model_state, label2id,
     id2label, metrics). Accepts the path with or without extension."""
@@ -119,15 +158,19 @@ def load_checkpoint(base_path: str):
         base_path = base_path.rsplit(".", 1)[0]
     with open(base_path + ".json", encoding="utf-8") as f:
         meta = json.load(f)
-    data = np.load(base_path + ".npz")
-    groups: Dict[str, Dict[str, np.ndarray]] = {"params": {}, "opt": {},
-                                                "state": {}}
-    for key in data.files:
-        g, rest = key.split(SEP, 1)
-        groups[g][rest] = data[key]
-    params = unflatten_tree(groups["params"])
-    opt_state = unflatten_tree(groups["opt"]) if groups["opt"] else None
-    model_state = unflatten_tree(groups["state"]) if groups["state"] else {}
+    if os.path.isdir(base_path + ".orbax"):
+        params, opt_state, model_state = _load_orbax(base_path)
+    else:
+        data = np.load(base_path + ".npz")
+        groups: Dict[str, Dict[str, np.ndarray]] = {
+            "params": {}, "opt": {}, "state": {}}
+        for key in data.files:
+            g, rest = key.split(SEP, 1)
+            groups[g][rest] = data[key]
+        params = unflatten_tree(groups["params"])
+        opt_state = unflatten_tree(groups["opt"]) if groups["opt"] else None
+        model_state = (unflatten_tree(groups["state"])
+                       if groups["state"] else {})
     cfg = Config.from_dict(meta["args"])
     label2id = meta["label2id"]
     id2label = {int(k): v for k, v in meta["id2label"].items()}

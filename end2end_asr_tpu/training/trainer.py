@@ -290,7 +290,8 @@ class Trainer:
                 logger.info("SAVE MODEL to %s", base)
                 ckpt.save_checkpoint(base, cfg, epoch + 1, params, opt_state,
                                      model_state, self.label2id,
-                                     self.id2label, metrics)
+                                     self.id2label, metrics,
+                                     fmt=cfg.checkpoint_format)
 
             if valid_loader_list and best_valid_loss > valid_loss_key:
                 best_valid_loss = valid_loss_key
@@ -299,7 +300,8 @@ class Trainer:
                 logger.info("SAVE BEST MODEL to %s", base)
                 ckpt.save_checkpoint(base, cfg, epoch + 1, params, opt_state,
                                      model_state, self.label2id,
-                                     self.id2label, metrics)
+                                     self.id2label, metrics,
+                                     fmt=cfg.checkpoint_format)
 
             if cfg.shuffle:
                 logger.info("SHUFFLE")

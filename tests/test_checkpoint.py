@@ -62,3 +62,34 @@ def test_config_tuple_roundtrip(tmp_path):
     assert cfg2.train_manifest_list == ("a.csv", "b.csv")
     assert cfg2.src_buckets == (100, 200)
     assert cfg2 == cfg
+
+
+def test_orbax_format_roundtrip_and_autodetect(tmp_path):
+    """--checkpoint-format orbax: same logical contents, auto-detected by
+    load_checkpoint, visible to find_latest_checkpoint (auto-resume)."""
+    from end2end_asr_tpu.training.checkpoint import find_latest_checkpoint
+
+    cfg = Config(name="t", save_folder=str(tmp_path),
+                 checkpoint_format="orbax")
+    params = {"w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+              "layers": [{"u": jnp.ones((2, 2))}, {"u": jnp.zeros((2, 2))}]}
+    opt = init_adam_state(params)
+    d = tmp_path / "t"
+    d.mkdir()
+    base = str(d / "epoch_2")
+    save_checkpoint(base, cfg, epoch=2, params=params, opt_state=opt,
+                    model_state={"bn": {"mean": jnp.ones(3)}},
+                    label2id={"a": 0}, id2label={0: "a"},
+                    metrics={"valid_loss": 2.5}, fmt="orbax")
+    assert (d / "epoch_2.orbax").is_dir()
+    assert not (d / "epoch_2.npz").exists()
+
+    cfg2, epoch, p2, o2, s2, l2i, i2l, m2 = load_checkpoint(base)
+    assert epoch == 2 and m2["valid_loss"] == 2.5
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(params["w"]))
+    np.testing.assert_array_equal(np.asarray(p2["layers"][0]["u"]), 1.0)
+    assert int(o2["step"]) == 0
+    np.testing.assert_array_equal(np.asarray(s2["bn"]["mean"]), 1.0)
+    assert cfg2.checkpoint_format == "orbax"
+
+    assert find_latest_checkpoint(str(tmp_path), "t") == base
