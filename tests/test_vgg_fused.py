@@ -240,3 +240,31 @@ def test_supported2_gate():
     assert not supported2(9, 16)         # odd F
     assert not supported2(8, 15)         # odd T
     assert not supported2(2, 16)         # too few rows
+
+
+def test_block1_golden_from_real_tpu():
+    """Interpret-mode kernel numerics vs a golden captured on a real v5e
+    (tests/data/vgg_block1_golden.npz, tools/capture_vgg_golden.py;
+    odd F so the tail-block path is in play). Regresses both directions:
+    a kernel change that diverges on-chip fails when the golden is
+    recaptured; an interpret-mode regression fails immediately."""
+    import os
+    from tools.capture_vgg_golden import GOLDEN, compute
+    if not os.path.exists(GOLDEN):
+        pytest.skip("golden not captured")
+    g = np.load(GOLDEN)
+    # bf16 mode is BIT-identical between the compiled chip and the
+    # interpreter (measured 0.0 across out and all four grads) — the
+    # strongest possible lock, and it is the flagship training mode.
+    res = compute("bfloat16")
+    for name, got in res.items():
+        want = g[f"bfloat16_{name}"]
+        scale = max(np.abs(want).max(), 1e-6)
+        assert np.abs(got - want).max() / scale < 1e-3, name
+    # f32 mode: TPU default-precision matmuls run bf16-product passes,
+    # so compiled-vs-interpret diverges ~3e-3 in the forward and more in
+    # gradients (precision-induced pool-tie flips reroute O(1) gradient
+    # between taps). Only the forward is meaningfully lockable.
+    out = compute("float32")["out"]
+    want = g["float32_out"]
+    assert np.abs(out - want).max() / np.abs(want).max() < 1e-2
