@@ -77,18 +77,19 @@ def pallas_supported(n_fft: int, hop: int) -> bool:
     return n_fft == 2 * hop
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window",
-                                             "T_out", "normalize"))
-def batched_features_pallas(pcm_padded: jnp.ndarray,
-                            n_valid_frames: jnp.ndarray,
-                            n_fft: int, hop: int, window: str, T_out: int,
-                            normalize: bool = True) -> jnp.ndarray:
+def _batched_features_impl(pcm_padded: jnp.ndarray,
+                           n_valid_frames: jnp.ndarray,
+                           cos: jnp.ndarray, sin: jnp.ndarray,
+                           n_fft: int, hop: int, T_out: int,
+                           normalize: bool = True) -> jnp.ndarray:
     """Same contract as ops.features.batched_features: (B, N+2·(n_fft//2))
-    host-reflect-padded PCM → (B, F, T_out) normalized log-spectrograms."""
+    host-reflect-padded PCM → (B, F, T_out) normalized log-spectrograms.
+    The DFT basis (cos, sin) is an explicit operand: custom_partitioning
+    requires a const-free jaxpr, so the caller passes it in."""
     assert pallas_supported(n_fft, hop), "kernel requires n_fft == 2*hop"
     B, N2p = pcm_padded.shape
     n_freq = n_fft // 2 + 1
-    cos, sin, Fp = _padded_basis(n_fft, window)
+    Fp = cos.shape[1]
 
     tile_t = min(256, _round_up(T_out, 8))
     nT = pl.cdiv(T_out, tile_t)
@@ -125,7 +126,7 @@ def batched_features_pallas(pcm_padded: jnp.ndarray,
             bytes_accessed=B * (2 * T_pad * hop + T_pad * Fp) * 4,
             transcendentals=B * T_pad * Fp,
         ),
-    )(left, right, jnp.asarray(cos), jnp.asarray(sin))
+    )(left, right, cos, sin)
 
     spect = out[:, :T_out, :n_freq]  # (B, T, F)
 
@@ -140,3 +141,24 @@ def batched_features_pallas(pcm_padded: jnp.ndarray,
         spect = (spect - mean) / jnp.maximum(std, 1e-10)
         spect = spect * t_valid[:, :, None]
     return jnp.transpose(spect, (0, 2, 1))
+
+
+# Under a sharded jit the custom call would otherwise be replicated
+# (XLA cannot partition through tpu_custom_call); every row is
+# independent, so declare batch-dim partitioning explicitly.
+from end2end_asr_tpu.ops.partition import batch_partitioned  # noqa: E402
+
+_batched_features_partitioned = batch_partitioned(
+    _batched_features_impl, batch_args=(0, 1), n_out=1,
+    static_argnums=(4, 5, 6, 7),
+    sharding_rule="b l, b, k f, k f -> b g t")
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window",
+                                             "T_out", "normalize"))
+def batched_features_pallas(pcm_padded, n_valid_frames, n_fft, hop,
+                            window, T_out, normalize=True):
+    cos, sin, _ = _padded_basis(n_fft, window)
+    return _batched_features_partitioned(
+        pcm_padded, n_valid_frames, jnp.asarray(cos), jnp.asarray(sin),
+        n_fft, hop, T_out, normalize)

@@ -361,6 +361,40 @@ def _split_phases(spect, cdt):
     return s[:, :, 0::2], s[:, :, 1::2]
 
 
+# ---------------------------------------------------------------------------
+# SPMD batch partitioning: under a sharded jit the custom calls would be
+# replicated (XLA cannot see through tpu_custom_call); the batch dim is
+# embarrassingly parallel, and the backward's weight grads are per-shard
+# partial sums combined with a psum (ops/partition.py).
+# ---------------------------------------------------------------------------
+from end2end_asr_tpu.ops.partition import batch_partitioned  # noqa: E402
+
+
+def _fwd_impl_pos(se, so, w1p, b1c, w2p, b2c, F, CH, cdt, interpret):
+    return _fwd_pallas(se, so, w1p, b1c, w2p, b2c, F=F, CH=CH, cdt=cdt,
+                       interpret=interpret)
+
+
+def _bwd_impl_pos(se, so, w1p, b1c, w2p, b2c, out, idx, g,
+                  F, CH, cdt, interpret):
+    return _bwd_pallas(se, so, w1p, b1c, w2p, b2c, out, idx, g,
+                       F=F, CH=CH, cdt=cdt, interpret=interpret)
+
+
+_fwd_partitioned = batch_partitioned(
+    _fwd_impl_pos, batch_args=(0, 1), n_out=2,
+    static_argnums=(6, 7, 8, 9),
+    sharding_rule="b f t, b f t, c k, c u, c v, c w "
+                  "-> b g c t, b g c t")
+
+_bwd_partitioned = batch_partitioned(
+    _bwd_impl_pos, batch_args=(0, 1, 6, 7, 8), n_out=4,
+    reduced_out=(0, 1, 2, 3),
+    static_argnums=(9, 10, 11, 12),
+    sharding_rule="b f t, b f t, c k, c u, c v, c w, b g c t, b g c t, "
+                  "b g c t -> c k, c u, c v, c w")
+
+
 def _block1_fwd(spect, w1, b1, w2, b2, cdt):
     B, F, T = spect.shape
     Fp = F // 2
@@ -368,8 +402,8 @@ def _block1_fwd(spect, w1, b1, w2, b2, cdt):
     se, so = _split_phases(spect, cdt)
     w1p, b1c, w2p, b2c = _pack(w1, b1, w2, b2, cdt)
     interpret = jax.default_backend() == "cpu"
-    out_t, idx = _fwd_pallas(se, so, w1p, b1c, w2p, b2c,
-                             F=F, CH=CH, cdt=cdt, interpret=interpret)
+    out_t, idx = _fwd_partitioned(se, so, w1p, b1c, w2p, b2c,
+                                  F, CH, cdt, interpret)
     return jnp.transpose(out_t, (0, 1, 3, 2)), (out_t, idx)
 
 
@@ -396,9 +430,9 @@ def _vjp_bwd(cdt, res, g):
     w1p, b1c, w2p, b2c = _pack(w1, b1, w2, b2, cdt)
     g_t = jnp.transpose(g, (0, 1, 3, 2)).astype(cdt)
     interpret = jax.default_backend() == "cpu"
-    dw1p, db1, dw2p, db2 = _bwd_pallas(
+    dw1p, db1, dw2p, db2 = _bwd_partitioned(
         se, so, w1p, b1c, w2p, b2c, out_t, idx, g_t,
-        F=F, CH=CH, cdt=cdt, interpret=interpret)
+        F, CH, cdt, interpret)
     # unpack: w1p columns were 8*df + dt
     dw1 = jnp.stack([dw1p[:, 0:3], dw1p[:, 8:11], dw1p[:, 16:19]],
                     axis=1)                      # (C, 3df, 3dt)
@@ -426,8 +460,8 @@ def _fwd_t(spect, w1, b1, w2, b2, cdt):
     CH = _pick_chunk(F // 2, 8)
     se, so = _split_phases(spect, cdt)
     w1p, b1c, w2p, b2c = _pack(w1, b1, w2, b2, cdt)
-    return _fwd_pallas(se, so, w1p, b1c, w2p, b2c, F=F, CH=CH, cdt=cdt,
-                       interpret=jax.default_backend() == "cpu")
+    return _fwd_partitioned(se, so, w1p, b1c, w2p, b2c, F, CH, cdt,
+                            jax.default_backend() == "cpu")
 
 
 def _vjp_fwd_t(spect, w1, b1, w2, b2, cdt):
@@ -441,9 +475,9 @@ def _vjp_bwd_t(cdt, res, g_t):
     CH = _pick_chunk(F // 2, 4)
     se, so = _split_phases(spect, cdt)
     w1p, b1c, w2p, b2c = _pack(w1, b1, w2, b2, cdt)
-    dw1p, db1, dw2p, db2 = _bwd_pallas(
+    dw1p, db1, dw2p, db2 = _bwd_partitioned(
         se, so, w1p, b1c, w2p, b2c, out_t, idx, g_t.astype(cdt),
-        F=F, CH=CH, cdt=cdt, interpret=jax.default_backend() == "cpu")
+        F, CH, cdt, jax.default_backend() == "cpu")
     dw1 = jnp.stack([dw1p[:, 0:3], dw1p[:, 8:11], dw1p[:, 16:19]],
                     axis=1)
     dw1 = jnp.transpose(dw1, (1, 2, 0))[:, :, None, :].astype(w1.dtype)
