@@ -17,7 +17,6 @@ including the psum-combined weight grads.
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax

@@ -75,12 +75,13 @@ def _bwd_kernel(y_ref, g_ref, dy_ref, *, C: int, last_odd: bool):
         dy_ref[0, 1] = dy_b
 
 
-def _pool_bwd_pallas(y: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    B, F, T, C = y.shape
-    Fp, Tp = F // 2, T // 2
-    y2 = y.reshape(B, F, Tp, 2 * C)        # free: row-major identical
+def _pool_bwd_impl(y2: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """y2: (B, F, Tp, 2C) phase-paired view. Returns dy in the same view."""
+    B, F, Tp, C2 = y2.shape
+    C = C2 // 2
+    Fp = g.shape[1]
     nf = (F + 1) // 2
-    dy2 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, C=C, last_odd=(F % 2 == 1)),
         grid=(B, nf),
         in_specs=[
@@ -92,9 +93,24 @@ def _pool_bwd_pallas(y: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
         ],
         out_specs=pl.BlockSpec((1, 2, Tp, 2 * C), lambda b, f: (b, f, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, F, Tp, 2 * C), y.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, F, Tp, 2 * C), y2.dtype),
         interpret=jax.default_backend() == "cpu",
     )(y2, g)
+
+
+# batch-dim SPMD partitioning (ops/partition.py): without it the custom
+# call is replicated under a sharded jit
+from end2end_asr_tpu.ops.partition import batch_partitioned  # noqa: E402
+
+_pool_bwd_partitioned = batch_partitioned(
+    _pool_bwd_impl, batch_args=(0, 1), n_out=1,
+    sharding_rule="b f t c, b g t h -> b f t c")
+
+
+def _pool_bwd_pallas(y: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    B, F, T, C = y.shape
+    y2 = y.reshape(B, F, T // 2, 2 * C)    # free: row-major identical
+    dy2 = _pool_bwd_partitioned(y2, g)
     return dy2.reshape(B, F, T, C)
 
 

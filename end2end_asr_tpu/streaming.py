@@ -24,7 +24,7 @@ same prefix of audio (same featurizer, same padding, same decode), so
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -86,3 +86,22 @@ def test_vgg_block1_partitions_and_grads_match():
         np.testing.assert_allclose(
             np.asarray(a) / scale, np.asarray(b) / scale,
             rtol=0, atol=1e-5, err_msg=name)
+
+
+def test_pool_backward_partitions():
+    from end2end_asr_tpu.ops.pool_vjp import max_pool2, _pool_fwd
+    mesh = _mesh()
+    rs = np.random.RandomState(2)
+    y = jnp.asarray(rs.randn(16, 6, 16, 64), jnp.float32)
+    g = jnp.asarray(rs.randn(16, 3, 8, 64), jnp.float32)
+
+    def loss(y, g):
+        return jnp.sum(max_pool2(y).astype(jnp.float32) * g)
+
+    ref = np.asarray(jax.grad(loss)(y, g))
+    sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        got = jax.jit(jax.grad(loss))(jax.device_put(y, sh),
+                                      jax.device_put(g, sh))
+    assert got.sharding.spec[0] == "data", got.sharding
+    np.testing.assert_array_equal(np.asarray(got), ref)
