@@ -24,3 +24,27 @@ def honor_env_platform() -> None:
         jax.config.update("jax_platforms", env)
     except Exception:
         pass
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache for the CLI entry points.
+
+    TPU compiles are expensive (minutes for the big grad programs with
+    Pallas kernels, one per bucket shape), and training runs recompile
+    them on every process start. The persistent cache serializes the
+    compiled executables to disk so reruns, resumes and test.py reuse
+    them. OPT-IN: set JAX_COMPILATION_CACHE_DIR to a directory.
+    (Not on by default: through this dev image's remote-TPU tunnel,
+    re-LOADING a cached executable measured 3.7x SLOWER than a fresh
+    server-side compile — 190 s vs 51 s to the first train step — so
+    the cache only pays off on directly-attached TPUs.)"""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not path or path == "0":
+        return
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass

@@ -19,9 +19,11 @@ import sys
 
 import numpy as np
 
-from end2end_asr_tpu.utils.platform import honor_env_platform
+from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
+                                             honor_env_platform)
 
 honor_env_platform()
+enable_compilation_cache()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

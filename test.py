@@ -9,9 +9,11 @@ and runs batch evaluation (greedy or --beam-search)."""
 import logging
 import sys
 
-from end2end_asr_tpu.utils.platform import honor_env_platform
+from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
+                                             honor_env_platform)
 
 honor_env_platform()
+enable_compilation_cache()
 
 from end2end_asr_tpu.config import config_from_args
 from end2end_asr_tpu.data.dataset import ManifestDataset

@@ -15,9 +15,11 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from end2end_asr_tpu.utils.platform import honor_env_platform
+from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
+                                             honor_env_platform)
 
 honor_env_platform()
+enable_compilation_cache()
 
 from end2end_asr_tpu.config import config_from_args, load_vocab
 from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector

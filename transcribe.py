@@ -17,9 +17,11 @@ import sys
 
 import numpy as np
 
-from end2end_asr_tpu.utils.platform import honor_env_platform
+from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
+                                             honor_env_platform)
 
 honor_env_platform()
+enable_compilation_cache()
 
 
 def main(argv=None):
