@@ -89,6 +89,15 @@ def main():
     print(f"checkpoint roundtrip OK (epoch {epoch}, "
           f"dim_model {cfg2.dim_model})")
 
+    # 7. streaming transcription (chunked PCM -> partial transcripts);
+    # exact: flush() equals the one-shot batch pipeline on the same audio
+    from end2end_asr_tpu.streaming import StreamingTranscriber
+    st = StreamingTranscriber(params, model_state, cfg, id2label)
+    wav = np.asarray(pcm[0])
+    for chunk in np.array_split(wav, 4):
+        partial = st.feed(chunk)
+    print("streaming final:", repr(st.flush()))
+
 
 if __name__ == "__main__":
     main()
