@@ -164,6 +164,10 @@ class Config:
     # checkpoint serialization: "npz" (single-host .npz/.json pair) or
     # "orbax" (sharded multi-host-safe orbax.checkpoint directory)
     checkpoint_format: str = "npz"
+    # progressive decoding: run greedy/beam with a KV cache of this many
+    # steps first and re-run full-length only for utterances that never
+    # finished (exact; 0 disables the short first pass)
+    decode_stage_len: int = 64
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -311,6 +315,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch "
                         "into this directory")
+    p.add_argument("--decode-stage-len", default=64, type=int,
+                   help="progressive decoding: short-KV-cache first pass "
+                        "length (exact; 0 disables)")
     p.add_argument("--checkpoint-format", default="npz",
                    choices=["npz", "orbax"],
                    help="checkpoint serialization: npz pair (default) or "

@@ -44,7 +44,8 @@ def evaluate(params, model_state, cfg: Config, test_loader,
         # search over one utterance; the batched beam with the same
         # width + LM final scoring is its well-defined equivalent.
         from end2end_asr_tpu.decoding.beam import BeamDecoder
-        beam = BeamDecoder(cfg, dims, id2label, lm=lm)
+        beam = BeamDecoder(cfg, dims, id2label, lm=lm,
+                           stage_len=cfg.decode_stage_len)
 
     if mesh is not None:
         from end2end_asr_tpu.parallel.mesh import batch_sharded, replicated
@@ -77,8 +78,9 @@ def evaluate(params, model_state, cfg: Config, test_loader,
             hyps = beam.decode(params, enc_out)
         else:
             max_len = min(cfg.decode_max_len, cfg.tgt_max_len)
-            ids = greedy_decode_progressive(params, enc_out, dims,
-                                            max_len=max_len)
+            ids = greedy_decode_progressive(
+                params, enc_out, dims, max_len=max_len,
+                stage_len=cfg.decode_stage_len or max_len)
             hyps = ids_to_strings(ids, id2label)
 
         for hyp_raw, gold_raw in zip(hyps, golds):

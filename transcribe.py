@@ -64,7 +64,8 @@ def main(argv=None):
     beam = None
     if cfg.beam_search or lm is not None:
         from end2end_asr_tpu.decoding.beam import BeamDecoder
-        beam = BeamDecoder(cfg, dims, id2label, lm=lm)
+        beam = BeamDecoder(cfg, dims, id2label, lm=lm,
+                   stage_len=cfg.decode_stage_len)
 
     n_fft, hop = cfg.n_fft, cfg.hop_length
     for path in args.wavs:
@@ -80,7 +81,9 @@ def main(argv=None):
         else:
             ids = greedy_decode_progressive(
                 params, enc_out, dims,
-                max_len=min(cfg.decode_max_len, cfg.tgt_max_len))
+                max_len=min(cfg.decode_max_len, cfg.tgt_max_len),
+                stage_len=cfg.decode_stage_len
+                or min(cfg.decode_max_len, cfg.tgt_max_len))
             text = ids_to_strings(ids, id2label)[0]
         print(f"{path}\t{strip_specials(text).strip()}")
 
