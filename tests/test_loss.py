@@ -138,3 +138,39 @@ def test_ctc_repeated_labels():
     ours = float(ctc_loss(jnp.asarray(log_probs), jnp.asarray(targets),
                           jnp.asarray(in_lens), jnp.asarray(tgt_lens)))
     assert abs(ours - ref) < 1e-4
+
+
+def test_ctc_infeasible_rows_match_torch_inf():
+    """The reference computes CTC input_lengths as src_percentage *
+    decoder_width (trainer/asr/trainer.py:81-82): a short utterance in a
+    tall bucket can get input_length < target_length, which torch
+    F.ctc_loss (no zero_infinity) scores as +inf and the reference then
+    SKIPS the whole batch ("Found infinity loss, masking" + continue).
+    Our ctc_loss must go non-finite-sized the same way so the trainer's
+    Inf-skip engages — this is the mechanism behind 'exploding' losses
+    when mixed-length batches hit --loss ctc, reproduced from the
+    reference, not a bug."""
+    import jax
+    import torch
+    import torch.nn.functional as TF
+
+    rng = np.random.RandomState(3)
+    B, T, C, U = 3, 9, 12, 5
+    logits = rng.randn(B, T, C).astype(np.float32)
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    targets = rng.randint(3, C, size=(B, U)).astype(np.int32)
+    tgt_lengths = np.array([5, 5, 5], np.int32)
+    in_lens = np.array([9, 4, 9], np.int32)   # row 1 infeasible (4 < 5)
+
+    ours = np.asarray(ctc_loss(jnp.asarray(log_probs), jnp.asarray(targets),
+                               jnp.asarray(in_lens),
+                               jnp.asarray(tgt_lengths), reduction="none"))
+    ref = TF.ctc_loss(torch.tensor(log_probs).transpose(0, 1),
+                      torch.tensor(targets.astype(np.int64)),
+                      torch.tensor(in_lens.astype(np.int64)),
+                      torch.tensor(tgt_lengths.astype(np.int64)),
+                      reduction="none").numpy()
+    # feasible rows agree exactly; the infeasible row is +inf in torch
+    # and >= 1e29 here (NEG_INF sentinel) — both trip the Inf-skip
+    np.testing.assert_allclose(ours[[0, 2]], ref[[0, 2]], rtol=1e-5)
+    assert np.isinf(ref[1]) and ours[1] > 1e29
