@@ -174,9 +174,6 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
         # ~15% of HBM bandwidth on v5e — the 64-channel minor dim wastes
         # half the vector lanes). Numerically identical to the reference
         # ordering (transformer.py:36-44); measured 460 → 512 utt/s/chip.
-        # The conv+pool pairs then split into stride-2 phase convs
-        # (_conv_pool_relu) so the pool backward needs no
-        # select_and_scatter.
         # Fused Pallas path (ops/vgg_fused.py): conv1+relu+conv2+pool and
         # conv3+relu+conv4+pool each run as one kernel whose custom VJP
         # emits weight grads (and, for block2, the input grad) — nothing
