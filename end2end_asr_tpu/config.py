@@ -15,6 +15,7 @@ import argparse
 import dataclasses
 import json
 import math
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -356,7 +357,28 @@ def build_vocab(labels: str) -> Tuple[Dict[str, int], Dict[int, str]]:
     return label2id, id2label
 
 
+def resolve_labels_path(labels_path: str) -> str:
+    """Resolve a labels path, falling back to the vendored files.
+
+    The reference ships its label inventories in-tree
+    (``data/labels/labels.json``, ``data/labels/aishell_labels.json``)
+    and defaults ``--labels-path`` to a bare ``labels.json``
+    (``utils/constant.py:19``). We vendor the same files under
+    ``data/labels/`` at the repo root; when the given path does not
+    exist, try that directory so the CLI default works with no
+    dataprep pre-step.
+    """
+    if os.path.exists(labels_path):
+        return labels_path
+    vendored = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "labels",
+        os.path.basename(labels_path))
+    if os.path.exists(vendored):
+        return vendored
+    return labels_path
+
+
 def load_vocab(labels_path: str) -> Tuple[Dict[str, int], Dict[int, str]]:
-    with open(labels_path, encoding="utf-8") as f:
+    with open(resolve_labels_path(labels_path), encoding="utf-8") as f:
         labels = str("".join(json.load(f)))
     return build_vocab(labels)

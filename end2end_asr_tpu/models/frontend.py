@@ -30,7 +30,9 @@ from end2end_asr_tpu.ops.vgg_fused import (BLOCK2_ENABLED as _BLOCK2_ENABLED,
 
 def _use_fused_block1(spect: jnp.ndarray) -> bool:
     _, F, T = spect.shape
-    return jax.default_backend() != "cpu" and _block1_shapes_ok(F, T)
+    # Only the TPU backend can compile the pltpu kernel; CPU tests use
+    # interpret mode explicitly, any other backend takes the composite.
+    return jax.default_backend() == "tpu" and _block1_shapes_ok(F, T)
 
 Params = Dict[str, object]
 
@@ -185,6 +187,13 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
         F2, T2 = spect.shape[1] // 2, spect.shape[2] // 2
         fused2 = (fused1 and _BLOCK2_ENABLED
                   and _block2_shapes_ok(F2, T2))
+        # The fused kernels' VJPs emit NO input gradient (see
+        # _zero_input_cotangent in ops/vgg_fused.py): the featurizer
+        # upstream has no trainable parameters. stop_gradient makes that
+        # contract explicit here — a future trainable featurizer must
+        # add an input-grad pass to the kernel, not just drop this.
+        if fused1:
+            spect = jax.lax.stop_gradient(spect)
         if fused2:
             x_t = vgg_block1_t(spect, params["conv1"]["w"],
                                params["conv1"]["b"], params["conv2"]["w"],

@@ -421,6 +421,22 @@ def _vjp_fwd(spect, w1, b1, w2, b2, cdt):
     return out, (spect, w1, b1, w2, b2, out_t, idx)
 
 
+def _zero_input_cotangent(spect):
+    """The block1 kernels deliberately emit NO input gradient.
+
+    The featurizer upstream of `spect` (STFT magnitude) has no trainable
+    parameters, so the input cotangent is dead in every training program
+    this framework builds, and skipping it is what keeps anything
+    full-resolution from touching HBM in the backward pass. Call sites
+    in models/frontend.py wrap `spect` in lax.stop_gradient so the
+    contract is visible there too: if you ever make the featurizer
+    trainable (saliency, adversarial perturbations, learned frontend),
+    you must add an input-grad pass to this kernel — do not just remove
+    the stop_gradient, or you will silently train on zeros.
+    """
+    return jnp.zeros_like(spect)
+
+
 def _vjp_bwd(cdt, res, g):
     spect, w1, b1, w2, b2, out_t, idx = res
     B, F, T = spect.shape
@@ -439,7 +455,8 @@ def _vjp_bwd(cdt, res, g):
     dw1 = jnp.transpose(dw1, (1, 2, 0))[:, :, None, :].astype(w1.dtype)
     dw2 = jnp.transpose(dw2p.reshape(C, 3, 3, C),
                         (1, 2, 3, 0)).astype(w2.dtype)
-    return (jnp.zeros_like(spect), dw1, db1.reshape(-1).astype(b1.dtype),
+    return (_zero_input_cotangent(spect), dw1,
+            db1.reshape(-1).astype(b1.dtype),
             dw2, db2.reshape(-1).astype(b2.dtype))
 
 
@@ -483,7 +500,8 @@ def _vjp_bwd_t(cdt, res, g_t):
     dw1 = jnp.transpose(dw1, (1, 2, 0))[:, :, None, :].astype(w1.dtype)
     dw2 = jnp.transpose(dw2p.reshape(C, 3, 3, C),
                         (1, 2, 3, 0)).astype(w2.dtype)
-    return (jnp.zeros_like(spect), dw1, db1.reshape(-1).astype(b1.dtype),
+    return (_zero_input_cotangent(spect), dw1,
+            db1.reshape(-1).astype(b1.dtype),
             dw2, db2.reshape(-1).astype(b2.dtype))
 
 

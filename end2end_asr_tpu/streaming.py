@@ -33,6 +33,7 @@ from end2end_asr_tpu.data.loader import pick_bucket
 from end2end_asr_tpu.decoding.greedy import (greedy_decode_progressive,
                                              ids_to_strings)
 from end2end_asr_tpu.models.transformer import dims_from_config
+from end2end_asr_tpu.data.features import num_frames
 from end2end_asr_tpu.ops.features import reflect_pad_pcm
 from end2end_asr_tpu.training.steps import make_encode_fn
 
@@ -74,8 +75,10 @@ class StreamingTranscriber:
         self._partial = ""
 
     def _frames(self, n_samples: int) -> int:
-        hop = int(self.cfg.sample_rate * self.cfg.window_stride)
-        return max(n_samples // hop, 1)
+        # Mirror transcribe.py exactly: librosa center=True frame count
+        # (1 + n_samples//hop), so flush() == transcribe.py on the file.
+        return max(num_frames(n_samples, self.cfg.n_fft,
+                              self.cfg.hop_length), 1)
 
     def feed(self, pcm_chunk) -> str:
         """Append PCM (1-D float array) and return the current partial
@@ -118,9 +121,10 @@ class StreamingTranscriber:
         if self.beam is not None:
             text = self.beam.decode(self.params, enc_out)[0]
         else:
+            max_len = min(cfg.decode_max_len, cfg.tgt_max_len)
             ids = greedy_decode_progressive(
-                self.params, enc_out, self.dims,
-                max_len=min(cfg.decode_max_len, cfg.tgt_max_len))
+                self.params, enc_out, self.dims, max_len=max_len,
+                stage_len=cfg.decode_stage_len or max_len)
             text = ids_to_strings(ids, self.id2label)[0]
         self._decoded_frames = frames
         self._partial = strip_specials(text).strip()

@@ -47,7 +47,7 @@ def _features_or_passthrough(cfg: Config, batch: Dict):
                                                  pallas_supported)
     use_pallas = (cfg.use_pallas_features
                   and pallas_supported(cfg.n_fft, cfg.hop_length)
-                  and jax.default_backend() not in ("cpu",))
+                  and jax.default_backend() == "tpu")
     fn = batched_features_pallas if use_pallas else batched_features
     return fn(batch["pcm"], batch["n_frames"], cfg.n_fft, cfg.hop_length,
               cfg.window, T_out=batch["spect_T"], normalize=True)

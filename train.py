@@ -21,7 +21,8 @@ from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
 honor_env_platform()
 enable_compilation_cache()
 
-from end2end_asr_tpu.config import config_from_args, load_vocab
+from end2end_asr_tpu.config import (config_from_args, load_vocab,
+                                    resolve_labels_path)
 from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector
 from end2end_asr_tpu.data.loader import AudioBatchLoader, BucketingSampler
 from end2end_asr_tpu.models.transformer import init_transformer
@@ -93,7 +94,7 @@ def main(argv=None, trainer_cls=Trainer):
     else:
         label2id, id2label = load_vocab(cfg.labels_path)
         # duplicate-label warning parity (train.py:56-57)
-        with open(cfg.labels_path, encoding="utf-8") as f:
+        with open(resolve_labels_path(cfg.labels_path), encoding="utf-8") as f:
             raw = str("".join(json.load(f)))
         seen = set()
         for ch in raw:
