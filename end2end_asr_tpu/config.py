@@ -98,6 +98,13 @@ class Config:
     # SGD optimizer (CTC/annealing path)
     momentum: float = 0.9
     lr_anneal: float = 1.1
+    # optimizer family: "noam" (Adam under the Noam schedule, the
+    # reference's only reachable path, functions.py:101-114) or
+    # "sgd_annealing" (nesterov SGD with lr /= lr_anneal per step — the
+    # intended semantics of the reference's AnnealingOpt, whose step()
+    # only anneals the LR and never applies the update,
+    # utils/optimizer.py:34-45)
+    opt: str = "noam"
 
     # decoder search
     beam_search: bool = False
@@ -277,6 +284,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prob-weight", default=1.0, type=float)
 
     p.add_argument("--loss", type=str, default="ce")
+    p.add_argument("--opt", type=str, default="noam",
+                   choices=["noam", "sgd_annealing"],
+                   help="optimizer: Noam-scheduled Adam (reference "
+                        "default) or annealing nesterov SGD "
+                        "(utils/optimizer.py:34-45 intended semantics)")
     p.add_argument("--clip", action="store_true")
     p.add_argument("--max-norm", default=400, type=float)
     p.add_argument("--dropout", default=0.1, type=float)

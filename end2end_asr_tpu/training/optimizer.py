@@ -96,6 +96,14 @@ def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
 # Annealing SGD (intended semantics of utils/optimizer.py:34-45)
 # ---------------------------------------------------------------------------
 
+def init_opt_state(cfg, params) -> Dict:
+    """Optimizer state for cfg.opt — the init half of the reference's
+    ``init_optimizer(args, model, opt_type)`` (functions.py:101-114)."""
+    if cfg.opt == "sgd_annealing":
+        return init_sgd_state(params, cfg.lr)
+    return init_adam_state(params)
+
+
 def init_sgd_state(params, lr: float) -> Dict:
     return {"step": jnp.zeros((), jnp.int32),
             "lr": jnp.asarray(lr, jnp.float32),

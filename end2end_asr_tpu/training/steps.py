@@ -99,9 +99,18 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
         # fuse into the Adam update (garbage updates from non-finite
         # grads are discarded by the select, never applied).
         finite = jnp.isfinite(loss)
-        upd_params, upd_opt, upd_lr = adam_noam_update(
-            params, grads, opt_state, noam, clip=cfg.clip,
-            max_norm=cfg.max_norm)
+        if cfg.opt == "sgd_annealing":
+            from end2end_asr_tpu.training.optimizer import \
+                sgd_annealing_update
+            upd_params, upd_opt, upd_lr = sgd_annealing_update(
+                params, grads, opt_state, cfg.momentum, cfg.lr_anneal,
+                clip=cfg.clip, max_norm=cfg.max_norm)
+            skip_lr = opt_state["lr"]  # skipped batch: no anneal applied
+        else:
+            upd_params, upd_opt, upd_lr = adam_noam_update(
+                params, grads, opt_state, noam, clip=cfg.clip,
+                max_norm=cfg.max_norm)
+            skip_lr = noam_rate(opt_state["step"] + 1, noam)
 
         def pick(new, old):
             return jax.tree_util.tree_map(
@@ -109,8 +118,7 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
 
         new_params = pick(upd_params, params)
         new_opt = pick(upd_opt, opt_state)
-        lr = jnp.where(finite, upd_lr,
-                       noam_rate(opt_state["step"] + 1, noam))
+        lr = jnp.where(finite, upd_lr, skip_lr)
 
         hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
         metrics = {

@@ -66,3 +66,80 @@ def test_clip_by_global_norm_matches_torch():
     assert abs(float(gnorm) - float(ref_norm)) < 1e-4
     np.testing.assert_allclose(np.asarray(clipped["a"]),
                                ta.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
+def test_sgd_annealing_matches_torch_nesterov():
+    """sgd_annealing_update vs torch.optim.SGD(nesterov) under the
+    AnnealingOpt-intended schedule (lr /= lr_anneal before every
+    update, utils/optimizer.py:34-45 + functions.py:108-109)."""
+    from end2end_asr_tpu.training.optimizer import (init_sgd_state,
+                                                    sgd_annealing_update)
+    rs = np.random.RandomState(2)
+    w0 = rs.randn(4, 3).astype(np.float32)
+    lr0, anneal, momentum = 0.3, 1.1, 0.9
+
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=lr0, momentum=momentum, nesterov=True)
+
+    params = {"w": jnp.asarray(w0)}
+    state = init_sgd_state(params, lr0)
+
+    lr_t = lr0
+    for step in range(1, 8):
+        g = rs.randn(4, 3).astype(np.float32)
+        lr_t = lr_t / anneal
+        for group in opt.param_groups:
+            group["lr"] = lr_t
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+        params, state, lr = sgd_annealing_update(
+            params, {"w": jnp.asarray(g)}, state, momentum, anneal)
+        assert abs(float(lr) - lr_t) < 1e-7
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               wt.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_sgd_annealing_train_step_runs(tmp_path):
+    """--opt sgd_annealing end-to-end: the train step applies nesterov
+    SGD, anneals the LR every step, and skips non-finite batches with
+    the LR held."""
+    import functools
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.models.transformer import (dims_from_config,
+                                                    init_transformer)
+    from end2end_asr_tpu.training.optimizer import init_opt_state
+    from end2end_asr_tpu.training.steps import make_train_step
+
+    cfg = Config(opt="sgd_annealing", lr=0.1, lr_anneal=1.2,
+                 feat_extractor="", num_layers=1, num_heads=2,
+                 dim_model=32, dim_key=8, dim_value=8, dim_inner=64,
+                 dim_emb=32, dim_input=16, dropout=0.0, dtype="float32",
+                 src_max_len=16, tgt_max_len=8)
+    dims = dims_from_config(cfg)
+    params, model_state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=8))(jax.random.PRNGKey(0))
+    opt_state = init_opt_state(cfg, params)
+    assert "buf" in opt_state and "lr" in opt_state
+
+    step = make_train_step(cfg, dims, from_pcm=False)
+    rng = jax.random.PRNGKey(1)
+    spect = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16),
+                        jnp.float32)
+    n_frames = jnp.asarray([16, 12], jnp.int32)
+    targets = jnp.asarray([[1, 4, 5, 2, 0, 0, 0, 0],
+                           [1, 6, 2, 0, 0, 0, 0, 0]], jnp.int32)
+    tgt_lengths = jnp.asarray([4, 3], jnp.int32)
+    params_before = jax.tree_util.tree_map(np.asarray, params)
+    params2, opt2, _, metrics, _, _ = step(
+        params, opt_state, model_state, rng, spect, n_frames,
+        targets, tgt_lengths, spect_T=16)
+    assert bool(metrics["finite"])
+    np.testing.assert_allclose(float(metrics["lr"]), 0.1 / 1.2, rtol=1e-6)
+    np.testing.assert_allclose(float(opt2["lr"]), 0.1 / 1.2, rtol=1e-6)
+    # params actually moved
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - np.asarray(b)))),
+        params_before, params2)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0

@@ -29,7 +29,7 @@ from end2end_asr_tpu.models.transformer import init_transformer
 from end2end_asr_tpu.parallel.mesh import (check_divisible, make_mesh,
                                            maybe_initialize_distributed)
 from end2end_asr_tpu.training.checkpoint import load_checkpoint
-from end2end_asr_tpu.training.optimizer import init_adam_state
+from end2end_asr_tpu.training.optimizer import init_opt_state
 from end2end_asr_tpu.training.trainer import Trainer
 from end2end_asr_tpu.utils.logger import Logger as StdoutTee
 
@@ -74,13 +74,13 @@ def main(argv=None, trainer_cls=Trainer):
          id2label, metrics) = load_checkpoint(cfg.continue_from)
         if opt_state is None:
             # converted reference .th checkpoints carry only the Noam
-            # scalar step (functions.py:86-94) — rebuild fresh Adam
-            # moments and seed the step so the LR schedule continues
-            opt_state = init_adam_state(params)
+            # scalar step (functions.py:86-94) — rebuild fresh moments
+            # and seed the step so the LR schedule continues
+            opt_state = init_opt_state(ckpt_cfg, params)
             opt_state["step"] = jnp.asarray(
                 int(metrics.get("noam_step", 0)), jnp.int32)
             logger.info("No optimizer state in checkpoint; reinitialized "
-                        "Adam moments at noam_step=%d",
+                        "optimizer moments at noam_step=%d",
                         int(opt_state["step"]))
         # architecture/features come from the checkpoint (functions.py:72-78)
         cfg = ckpt_cfg.replace(
@@ -107,7 +107,7 @@ def main(argv=None, trainer_cls=Trainer):
         params, model_state = jax.jit(functools.partial(
             init_transformer, cfg=cfg, num_vocab=len(label2id)))(
                 jax.random.PRNGKey(cfg.seed))
-        opt_state = init_adam_state(params)
+        opt_state = init_opt_state(cfg, params)
 
     noise = (NoiseInjector(cfg.noise_dir, cfg.sample_rate,
                            (cfg.noise_min, cfg.noise_max))
