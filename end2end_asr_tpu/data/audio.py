@@ -34,6 +34,99 @@ def load_audio(path: str) -> np.ndarray:
     return _load_audio_py(path)
 
 
+# Extensions librosa.util.find_files matches by default (the reference
+# discovers noise files with it, utils/data_loader.py:153).
+AUDIO_EXTENSIONS = ("aac", "au", "flac", "m4a", "mp3", "ogg", "wav")
+
+
+def find_audio_files(directory: str) -> list:
+    """librosa.util.find_files semantics: recursive, case-insensitive
+    match on the common audio extensions, sorted."""
+    import os
+    out = []
+    for dp, _, fs in os.walk(directory):
+        for f in fs:
+            ext = f.rsplit(".", 1)[-1].lower() if "." in f else ""
+            if ext in AUDIO_EXTENSIONS:
+                out.append(os.path.join(dp, f))
+    return sorted(out)
+
+
+def decode_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Decode any supported audio file → (float32 mono in [-1,1], sr).
+
+    Dispatch is by container magic, not extension: RIFF → WAV (native
+    C++ decoder, Python ``wave`` fallback), ``.snd`` → Sun AU (decoded
+    in-process below). Anything else tries soundfile / torchaudio if
+    installed, then fails with a clear error — mirroring the breadth the
+    reference gets from torchaudio+sox without requiring either.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"RIFF":
+        y = load_audio(path)
+        with wave.open(path, "rb") as w:
+            return y, w.getframerate()
+    if magic == b".snd":
+        return _load_au_py(path)
+    try:
+        import soundfile as sf
+        data, sr = sf.read(path, dtype="float32", always_2d=True)
+        return data.mean(axis=1).astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    try:
+        import torchaudio
+        wav, sr = torchaudio.load(path)
+        return wav.mean(dim=0).numpy().astype(np.float32), int(sr)
+    except ImportError:
+        pass
+    raise ValueError(
+        f"cannot decode {path!r}: not WAV/AU and neither soundfile nor "
+        "torchaudio is installed")
+
+
+_ULAW_BIAS = 0x84
+
+
+def _ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law byte → float32 in [-1, 1]."""
+    u = (~u.astype(np.int32)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + _ULAW_BIAS) << exp) - _ULAW_BIAS
+    return np.where(sign, -mag, mag).astype(np.float32) / 32768.0
+
+
+def _load_au_py(path: str) -> Tuple[np.ndarray, int]:
+    """Sun/NeXT .au: 24+-byte big-endian header, then samples."""
+    with open(path, "rb") as f:
+        hdr = np.frombuffer(f.read(24), dtype=">u4")
+        if len(hdr) < 6 or hdr[0] != 0x2E736E64:
+            raise ValueError(f"not an AU file: {path!r}")
+        data_offset, _, encoding, sr, n_ch = (
+            int(hdr[1]), int(hdr[2]), int(hdr[3]), int(hdr[4]),
+            int(hdr[5]))
+        f.seek(data_offset)
+        raw = f.read()
+    if encoding == 1:          # 8-bit μ-law
+        y = _ulaw_decode(np.frombuffer(raw, np.uint8))
+    elif encoding == 2:        # int8
+        y = np.frombuffer(raw, np.int8).astype(np.float32) / (1 << 7)
+    elif encoding == 3:        # int16 BE
+        y = np.frombuffer(raw, ">i2").astype(np.float32) / (1 << 15)
+    elif encoding == 5:        # int32 BE
+        y = np.frombuffer(raw, ">i4").astype(np.float32) / (1 << 31)
+    elif encoding == 6:        # float32 BE
+        y = np.frombuffer(raw, ">f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding} in {path!r}")
+    if n_ch > 1:
+        y = y[: len(y) - len(y) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return y.astype(np.float32), sr
+
+
 def _load_audio_py(path: str) -> np.ndarray:
     with wave.open(path, "rb") as w:
         n_channels = w.getnchannels()
@@ -79,8 +172,12 @@ def get_audio_length(path: str) -> float:
         d = _native.wav_duration(path)
         if d is not None and d >= 0:
             return d
-    with wave.open(path, "rb") as w:
-        return w.getnframes() / float(w.getframerate())
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / float(w.getframerate())
+    except (wave.Error, EOFError):
+        y, sr = decode_audio(path)
+        return len(y) / float(sr)
 
 
 # ---------------------------------------------------------------------------
@@ -105,9 +202,7 @@ def audio_with_crop(path: str, sample_rate: int, start_time: float,
                     end_time: float) -> np.ndarray:
     """Load a [start, end] second segment at sample_rate (replaces
     audio_with_sox, utils/audio.py:22-33)."""
-    y = load_audio(path)
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
+    y, sr = decode_audio(path)
     y = resample(y, sr, sample_rate)
     i0 = int(round(start_time * sample_rate))
     i1 = int(round(end_time * sample_rate))

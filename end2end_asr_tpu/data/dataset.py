@@ -86,9 +86,9 @@ class NoiseInjector:
         import os
         if not os.path.exists(path):
             raise IOError(f"Directory doesn't exist: {path}")
-        self.paths = sorted(
-            os.path.join(dp, f) for dp, _, fs in os.walk(path)
-            for f in fs if f.lower().endswith((".wav",)))
+        # librosa.util.find_files semantics (utils/data_loader.py:153):
+        # recursive, case-insensitive, all common audio extensions
+        self.paths = A.find_audio_files(path)
         self.sample_rate = sample_rate
         self.noise_levels = noise_levels
 

@@ -101,3 +101,63 @@ def test_dataset_applies_noise_with_probability(noise_dir, tmp_path):
     assert y0.shape == y1.shape
     assert not np.allclose(y0, y1)
     np.testing.assert_array_equal(y0, y2)
+
+
+def _write_au(path, y, sr, encoding=3):
+    """Minimal Sun AU writer (16-bit PCM BE or mu-law) for tests."""
+    import struct
+    y = np.asarray(y, np.float32)
+    if encoding == 3:
+        payload = (np.clip(y * (1 << 15), -32768, 32767)
+                   .astype(">i2").tobytes())
+    else:
+        raise ValueError(encoding)
+    hdr = struct.pack(">4sIIIII", b".snd", 24, len(payload), encoding,
+                      sr, 1)
+    with open(path, "wb") as f:
+        f.write(hdr + payload)
+
+
+def test_find_files_matches_librosa_semantics(tmp_path):
+    """Discovery is recursive, case-insensitive, multi-extension, sorted
+    (librosa.util.find_files, utils/data_loader.py:153)."""
+    from end2end_asr_tpu.data.audio import find_audio_files
+    d = tmp_path / "noise"
+    (d / "sub").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    save_wav(str(d / "a.wav"), rng.randn(100).astype(np.float32), SR)
+    save_wav(str(d / "sub" / "b.WAV"), rng.randn(100).astype(np.float32),
+             SR)
+    _write_au(str(d / "c.au"), rng.randn(100).astype(np.float32), SR)
+    (d / "notes.txt").write_text("not audio")
+    found = find_audio_files(str(d))
+    names = [p.rsplit("/", 1)[-1] for p in found]
+    assert names == ["a.wav", "c.au", "b.WAV"]  # sorted, recursive
+    assert not any(p.endswith(".txt") for p in found)
+
+
+def test_au_decode_roundtrip(tmp_path):
+    from end2end_asr_tpu.data.audio import decode_audio
+    rng = np.random.RandomState(3)
+    y = (rng.randn(SR // 10).astype(np.float32) * 0.3).clip(-1, 1)
+    p = str(tmp_path / "n.au")
+    _write_au(p, y, SR)
+    got, sr = decode_audio(p)
+    assert sr == SR
+    np.testing.assert_allclose(got, y, atol=1.0 / (1 << 15) + 1e-7)
+
+
+def test_inject_noise_from_au_file(tmp_path):
+    """Non-wav noise source end-to-end through NoiseInjector."""
+    d = tmp_path / "noise"
+    d.mkdir()
+    rng = np.random.RandomState(1)
+    _write_au(str(d / "hum.au"),
+              rng.randn(SR).astype(np.float32) * 0.2, SR)
+    inj = NoiseInjector(str(d), SR, noise_levels=(0.3, 0.3))
+    assert inj.paths and inj.paths[0].endswith("hum.au")
+    data = (0.1 * np.sin(2 * np.pi * 440 *
+                         np.arange(SR // 5) / SR)).astype(np.float32)
+    mixed = inj.inject_noise(data, np.random.RandomState(5))
+    assert mixed.shape == data.shape and mixed.dtype == np.float32
+    assert not np.allclose(mixed, data)  # noise actually mixed in
