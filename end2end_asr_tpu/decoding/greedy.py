@@ -26,6 +26,10 @@ from end2end_asr_tpu.models import decoder as D
 from end2end_asr_tpu.models.transformer import ModelDims
 
 
+_all_finished = jax.jit(
+    lambda ids: jnp.all((ids == EOS_TOKEN).any(axis=1)))
+
+
 @functools.partial(jax.jit, static_argnames=("dims", "max_len"))
 def greedy_decode(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
                   max_len: int = 300) -> jnp.ndarray:
@@ -79,12 +83,15 @@ def greedy_decode_progressive(params: Dict, enc_out: jnp.ndarray,
     this cuts the common case ~(max_len/stage_len)x while the worst case
     pays one extra short pass. Returns (B, max_len) like greedy_decode.
     """
-    import numpy as np
     if stage_len >= max_len:
         return greedy_decode(params, enc_out, dims, max_len=max_len)
     ids1 = greedy_decode(params, enc_out, dims, max_len=stage_len)
-    finished = np.asarray((ids1 == EOS_TOKEN).any(axis=1))
-    if finished.all():
+    # all-finished as a replicated device scalar: under multi-process
+    # SPMD ids1 is batch-sharded and a host np.asarray of per-row flags
+    # would touch non-addressable shards; the jitted all-reduce yields a
+    # scalar every process can read, so every process takes the same
+    # branch (and it's one dispatch instead of three eager ops).
+    if bool(_all_finished(ids1)):
         pad = jnp.full((ids1.shape[0], max_len - stage_len), EOS_TOKEN,
                        jnp.int32)
         return jnp.concatenate([ids1, pad], axis=1)

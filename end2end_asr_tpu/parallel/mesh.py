@@ -36,12 +36,22 @@ def maybe_initialize_distributed() -> None:
     import os
 
     import jax
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get(
-            "JAX_COORDINATOR_ADDRESS"):
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    addr = (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not addr:
+        return  # single-host (TPU pods auto-detect via initialize() in
+        #         jax's TPU cluster envs; this path is for explicit env)
+    num = (os.environ.get("NUM_PROCESSES")
+           or os.environ.get("JAX_NUM_PROCESSES"))
+    pid = (os.environ.get("PROCESS_ID")
+           or os.environ.get("JAX_PROCESS_ID"))
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def make_mesh(n_data: int = 0, devices=None) -> Mesh:

@@ -1,0 +1,111 @@
+"""Multi-process SPMD worker (spawned by test_multiprocess.py).
+
+Runs ONE process of an N-process jax.distributed CPU cluster through the
+framework's real multi-host path: maybe_initialize_distributed (env
+bring-up), per-process loader slices (AudioBatchLoader process_index/
+process_count), put_sharded's make_array_from_process_local_data branch
+for params AND batches, a full sharded train step (gradient psum over
+Gloo), and a sharded encode + greedy decode. Prints machine-checkable
+lines the parent asserts on.
+
+Usage: mp_worker.py <corpus_dir> (cluster env set by the parent:
+COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID, JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=K)
+"""
+
+import functools
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
+import numpy as np  # noqa: E402
+
+from end2end_asr_tpu.config import Config, load_vocab  # noqa: E402
+from end2end_asr_tpu.data.dataset import ManifestDataset  # noqa: E402
+from end2end_asr_tpu.data.loader import (AudioBatchLoader,  # noqa: E402
+                                         BucketingSampler)
+from end2end_asr_tpu.decoding.greedy import (  # noqa: E402
+    greedy_decode_progressive, ids_to_strings)
+from end2end_asr_tpu.models.transformer import (dims_from_config,  # noqa: E402
+                                                init_transformer)
+from end2end_asr_tpu.parallel.mesh import (batch_sharded,  # noqa: E402
+                                           make_mesh,
+                                           maybe_initialize_distributed,
+                                           put_sharded, replicated)
+from end2end_asr_tpu.training.optimizer import init_opt_state  # noqa: E402
+from end2end_asr_tpu.training.steps import (make_encode_fn,  # noqa: E402
+                                            make_train_step)
+
+
+def main():
+    corpus = sys.argv[1]
+    maybe_initialize_distributed()
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    assert pcnt > 1, "worker must run under a multi-process cluster"
+    print(f"MP p{pidx}/{pcnt} local={jax.local_device_count()} "
+          f"global={jax.device_count()}", flush=True)
+
+    cfg = Config(feat_extractor="", num_layers=1, num_heads=2,
+                 dim_model=32, dim_key=8, dim_value=8, dim_inner=64,
+                 dim_emb=32, dropout=0.0, dtype="float32",
+                 batch_size=8, src_max_len=64, tgt_max_len=16,
+                 src_buckets=(64,), tgt_buckets=(16,), shuffle=False,
+                 decode_stage_len=4, decode_max_len=8)
+    dims = dims_from_config(cfg)
+    label2id, id2label = load_vocab(os.path.join(corpus, "labels.json"))
+    cfg = cfg.replace(dim_input=cfg.n_freq)
+
+    ds = ManifestDataset([os.path.join(corpus, "manifest.csv")], label2id)
+    loader = AudioBatchLoader(
+        ds, cfg, sampler=BucketingSampler(len(ds), cfg.batch_size, seed=7),
+        seed=7, num_workers=0, process_index=pidx, process_count=pcnt)
+
+    mesh = make_mesh(0, jax.devices())
+    params, state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=len(label2id)))(
+            jax.random.PRNGKey(0))
+    opt_state = init_opt_state(cfg, params)
+    rep = replicated(mesh)
+    params = jax.tree_util.tree_map(lambda x: put_sharded(x, rep), params)
+    opt_state = jax.tree_util.tree_map(lambda x: put_sharded(x, rep),
+                                       opt_state)
+
+    step = make_train_step(cfg, dims, from_pcm=True)
+    encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
+    rng = jax.random.PRNGKey(1)
+    batch = next(iter(loader))
+    # each process holds only its local slice; put_sharded assembles the
+    # global batch (the process_count > 1 branch under test)
+    sh = lambda a: put_sharded(np.asarray(a),
+                               batch_sharded(mesh, np.ndim(a)))
+    pcm = sh(batch.pcm)
+    n_frames = sh(batch.n_frames)
+    targets = sh(batch.targets)
+    tgt_lengths = sh(batch.tgt_lengths)
+    assert pcm.shape[0] == cfg.batch_size, pcm.shape  # global, not local
+
+    params, opt_state, state, metrics, _, _ = step(
+        params, opt_state, state, rng, pcm, n_frames, targets,
+        tgt_lengths, spect_T=batch.src_bucket)
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), loss
+    print(f"MP p{pidx} TRAIN loss={loss:.6f}", flush=True)
+
+    enc_out, _ = encode_fn(params, state, pcm, n_frames,
+                           spect_T=batch.src_bucket)
+    ids = greedy_decode_progressive(params, enc_out, dims, max_len=8,
+                                    stage_len=4)
+    # host strings only from addressable rows (pods decode locally)
+    local_rows = np.concatenate(
+        [np.asarray(s.data) for s in ids.addressable_shards], axis=0)
+    strs = ids_to_strings(local_rows, id2label)
+    assert len(strs) == cfg.batch_size // pcnt, len(strs)
+    print(f"MP p{pidx} DECODE n={len(strs)}", flush=True)
+    print(f"MP p{pidx} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
