@@ -176,6 +176,12 @@ class Config:
     # steps first and re-run full-length only for utterances that never
     # finished (exact; 0 disables the short first pass)
     decode_stage_len: int = 64
+    # --lm-rescoring without --beam-search: the reference ignores the LM
+    # (its evaluate() calls greedy_search with defaults,
+    # transformer.py:117-118, and the per-step LM branch is unreachable
+    # broken code). False = that parity. True = upgrade the intent to a
+    # beam_width-wide LM-rescored beam search.
+    lm_greedy_as_beam: bool = False
 
     # ------------------------------------------------------------------
     def replace(self, **kw) -> "Config":
@@ -328,6 +334,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch "
                         "into this directory")
+    p.add_argument("--lm-greedy-as-beam", action="store_true",
+                   help="upgrade --lm-rescoring without --beam-search to "
+                        "a beam_width-wide LM-rescored beam (the "
+                        "reference ignores the LM on that path)")
     p.add_argument("--decode-stage-len", default=64, type=int,
                    help="progressive decoding: short-KV-cache first pass "
                         "length (exact; 0 disables)")

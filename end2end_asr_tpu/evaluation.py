@@ -38,14 +38,25 @@ def evaluate(params, model_state, cfg: Config, test_loader,
     dims = dims_from_config(cfg)
     encode_fn = None
     beam = None
-    if cfg.beam_search or (cfg.lm_rescoring and lm is not None):
-        # --lm-rescoring without --beam-search: the reference's greedy
-        # LM branch (transformer.py:357-373) is a width-k rescored
-        # search over one utterance; the batched beam with the same
-        # width + LM final scoring is its well-defined equivalent.
+    if cfg.beam_search or (cfg.lm_rescoring and cfg.lm_greedy_as_beam
+                           and lm is not None):
+        # Reference-reachable semantics for --lm-rescoring WITHOUT
+        # --beam-search: the LM is ignored — evaluate() always calls
+        # greedy_search with defaults (transformer.py:117-118), and the
+        # per-step LM branch it never reaches is broken code (:357-373,
+        # softmax/topk over the time dim; pinned crashing by
+        # test_decode_parity.py). Default = that parity. The opt-in
+        # --lm-greedy-as-beam upgrade maps the intent to a width-k
+        # rescored beam instead.
         from end2end_asr_tpu.decoding.beam import BeamDecoder
         beam = BeamDecoder(cfg, dims, id2label, lm=lm,
                            stage_len=cfg.decode_stage_len)
+    elif cfg.lm_rescoring and not cfg.beam_search:
+        logger.warning(
+            "--lm-rescoring without --beam-search: the LM is unused, "
+            "matching the reference's reachable behavior "
+            "(transformer.py:117-118); pass --lm-greedy-as-beam for a "
+            "width-%d LM-rescored beam instead", cfg.beam_width)
 
     if mesh is not None:
         from end2end_asr_tpu.parallel.mesh import batch_sharded, replicated

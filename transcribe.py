@@ -62,7 +62,9 @@ def main(argv=None):
         from end2end_asr_tpu.models.lm import LM
         lm = LM(cfg.lm_path)
     beam = None
-    if cfg.beam_search or lm is not None:
+    # mirror evaluation.py: --lm-rescoring without --beam-search ignores
+    # the LM (reference transformer.py:117-118) unless --lm-greedy-as-beam
+    if cfg.beam_search or (lm is not None and cfg.lm_greedy_as_beam):
         from end2end_asr_tpu.decoding.beam import BeamDecoder
         beam = BeamDecoder(cfg, dims, id2label, lm=lm,
                    stage_len=cfg.decode_stage_len)
