@@ -41,6 +41,14 @@ from end2end_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
 
 NEG = -1.0e30
 POOL_FACTOR = 4
+# auto-exact pool: when the exact pool (pool_factor = n_steps+1, which
+# provably keeps EVERY finished hypothesis — at most W retire per step
+# plus W forced-EOS) costs at most this many token-table elements
+# (P·L = (n+1)·W·(n+2)), use it instead of the POOL_FACTOR cap. At W=8
+# this makes every search up to ~120 steps exact — covering the
+# progressive stage-1 pass and typical utterances — while long searches
+# keep the documented cap (the per-step pool merge is O(P²+P·L)).
+AUTO_EXACT_POOL_ELEMS = 1 << 17
 
 
 @functools.partial(jax.jit,
@@ -187,7 +195,8 @@ class BeamDecoder:
 
     def __init__(self, cfg: Config, dims: ModelDims,
                  id2label: Dict[int, str], lm=None,
-                 pool_factor: int = POOL_FACTOR, stage_len: int = 64):
+                 pool_factor: int = POOL_FACTOR, stage_len: int = 64,
+                 auto_exact: bool = True):
         self.cfg = cfg
         self.dims = dims
         self.id2label = id2label
@@ -195,6 +204,22 @@ class BeamDecoder:
         self.pool_factor = pool_factor
         # short-cache first stage for decode_nbest (0 disables)
         self.stage_len = stage_len
+        # raise the pool to provably-exact when cheap (tests disable
+        # this to stress the capped pool against the exact one)
+        self.auto_exact = auto_exact
+
+    def _pool_factor_for(self, W: int, n_steps: int) -> int:
+        """Effective pool factor for a search of n_steps: exact
+        (n_steps+1) when the caller's factor already covers it (capping
+        saves memory with identical results) or when auto-exact deems it
+        cheap; the configured cap otherwise."""
+        exact = n_steps + 1
+        if self.pool_factor >= exact:
+            return exact
+        if (self.auto_exact
+                and exact * W * (n_steps + 2) <= AUTO_EXACT_POOL_ELEMS):
+            return exact
+        return self.pool_factor
 
     def _final_score(self, ids: np.ndarray, raw_score: float,
                      length: int) -> Tuple[float, str]:
@@ -238,13 +263,16 @@ class BeamDecoder:
         if self.stage_len and self.stage_len < n_steps:
             pool_t, pool_s, pool_l, unfin = beam_search_device(
                 params, enc_out, self.dims, cfg.beam_width,
-                self.stage_len, False, pool_factor=self.pool_factor)
+                self.stage_len, False,
+                pool_factor=self._pool_factor_for(cfg.beam_width,
+                                                  self.stage_len))
             if bool(np.any(np.asarray(unfin))):
                 pool_t = None
         if pool_t is None:
             pool_t, pool_s, pool_l, _ = beam_search_device(
                 params, enc_out, self.dims, cfg.beam_width, n_steps, force,
-                pool_factor=self.pool_factor)
+                pool_factor=self._pool_factor_for(cfg.beam_width,
+                                                  n_steps))
         pool_t = np.asarray(pool_t)
         pool_s = np.asarray(pool_s)
         pool_l = np.asarray(pool_l)
