@@ -131,15 +131,40 @@ def merge_abbreviation(seq: str) -> str:
     return " ".join(out)
 
 
-def preprocess_mixed_language_sentence(seq: str) -> str:
+def preprocess_mixed_language_sentence(seq: str, tokenize: bool = False,
+                                       en_nlp=None, zh_nlp=None,
+                                       tokenize_lang: int = -1) -> str:
     """Clean a code-switched sentence: emoji/punct/special-char removal,
-    lowercase, abbreviation merge, space collapse (the non-tokenizing
-    path of data/helper.py:314-383; the StanfordCoreNLP-tokenized
-    variant is intentionally not reproduced — external java service)."""
+    lowercase, abbreviation merge, space collapse
+    (data/helper.py:314-383).
+
+    tokenize=True runs the per-language-run tokenization variant
+    (:356-358): segments of the selected language (0=english,
+    1=chinese) are re-tokenized by a duck-typed ``word_tokenize``
+    provider — a StanfordCoreNLP handle from
+    utils/helper.corenlp_tokenizer if the user runs the Java service,
+    or any stand-in. Non-Chinese segments get their non-ASCII chars
+    spaced out either way (:361-363). The reference drops cleaned
+    sentences of length <= 1 (:374-377)."""
     seq = remove_emojis(seq)
     seq = preprocess(seq)
     seq = merge_abbreviation(seq)
-    return collapse_spaces(seq)
+    seq = collapse_spaces(seq)
+    if tokenize:
+        from end2end_asr_tpu.utils.helper import \
+            get_word_segments_per_language_with_tokenization
+        segments = get_word_segments_per_language_with_tokenization(
+            seq, tokenize_lang=tokenize_lang, en_nlp=en_nlp,
+            zh_nlp=zh_nlp)
+        out = []
+        for seg in segments:
+            if not is_contain_chinese_word(seg):
+                seg = re.sub(r"[^\x00-\x7f]", r" ", seg)
+            out.append(seg.replace("\n", ""))
+        seq = collapse_spaces(" ".join(out))
+        if len(seq) <= 1:
+            return ""
+    return seq
 
 
 def separate_chinese_chars(seq: str) -> str:

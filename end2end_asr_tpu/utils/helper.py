@@ -40,3 +40,74 @@ def get_word_segments_per_language(seq: str) -> List[str]:
         cur_lang = lang
     segments.append(cur)
     return segments
+
+
+def get_word_segments_per_language_with_tokenization(
+        seq: str, tokenize_lang: int = -1, zh_nlp=None,
+        en_nlp=None) -> List[str]:
+    """Language-run segmentation with per-run tokenization of ONE
+    selected language (data/helper.py:101-161).
+
+    `en_nlp`/`zh_nlp` are duck-typed tokenizers exposing
+    ``word_tokenize(str) -> list[str]`` — a ``stanfordcorenlp``
+    StanfordCoreNLP instance satisfies this if the user runs the Java
+    service, and any callable-free stub works (tests inject one); no
+    external dependency is required here.
+
+    Reference quirks preserved exactly: only a COMPLETED run is
+    tokenized at a language switch (english runs when tokenize_lang==0,
+    chinese runs — with spaces stripped first — when tokenize_lang==1);
+    the final run is tokenized only if its language matches, and the
+    final chinese run is NOT space-stripped (:153-158, unlike the
+    mid-sentence case :143)."""
+    cur_lang = -1
+    temp_words = ""
+    word_segments: List[str] = []
+    for word in seq.split(" "):
+        if is_contain_chinese_word(word):
+            if cur_lang == -1:
+                cur_lang = 1
+                temp_words = word
+            elif cur_lang == 0:  # english run just ended
+                cur_lang = 1
+                if tokenize_lang == 0:
+                    temp_words = " ".join(en_nlp.word_tokenize(temp_words))
+                word_segments.append(temp_words)
+                temp_words = word
+            else:
+                if temp_words != "":
+                    temp_words += " "
+                temp_words += word
+        else:
+            if cur_lang == -1:
+                cur_lang = 0
+                temp_words = word
+            elif cur_lang == 1:  # chinese run just ended
+                cur_lang = 0
+                if tokenize_lang == 1:
+                    temp_words = " ".join(
+                        zh_nlp.word_tokenize(temp_words.replace(" ", "")))
+                word_segments.append(temp_words)
+                temp_words = word
+            else:
+                if temp_words != "":
+                    temp_words += " "
+                temp_words += word
+    if tokenize_lang == 0 and cur_lang == 0:
+        temp_words = " ".join(en_nlp.word_tokenize(temp_words))
+    elif tokenize_lang == 1 and cur_lang == 1:
+        temp_words = " ".join(zh_nlp.word_tokenize(temp_words))
+    word_segments.append(temp_words)
+    return word_segments
+
+
+def corenlp_tokenizer(path_or_url: str, lang: str = "en"):
+    """Optional StanfordCoreNLP handle for the tokenized preprocessing
+    path (data/helper.py:314 tokenize=True). Returns None when the
+    ``stanfordcorenlp`` package (and its Java service) is unavailable —
+    callers fall back to the non-tokenized path."""
+    try:
+        from stanfordcorenlp import StanfordCoreNLP
+    except ImportError:
+        return None
+    return StanfordCoreNLP(path_or_url, lang=lang)
