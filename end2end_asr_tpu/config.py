@@ -176,6 +176,10 @@ class Config:
     # steps first and re-run full-length only for utterances that never
     # finished (exact; 0 disables the short first pass)
     decode_stage_len: int = 64
+    # Adam moment storage dtype: "bfloat16" halves the optimizer pass's
+    # HBM traffic (update still computes f32). Default f32 = exact
+    # torch.optim.Adam parity.
+    adam_moments_dtype: str = "float32"
     # --lm-rescoring without --beam-search: the reference ignores the LM
     # (its evaluate() calls greedy_search with defaults,
     # transformer.py:117-118, and the per-step LM branch is unreachable
@@ -334,6 +338,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch "
                         "into this directory")
+    p.add_argument("--adam-moments-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage (bfloat16 = less HBM "
+                        "traffic, slight numeric shift)")
     p.add_argument("--lm-greedy-as-beam", action="store_true",
                    help="upgrade --lm-rescoring without --beam-search to "
                         "a beam_width-wide LM-rescored beam (the "

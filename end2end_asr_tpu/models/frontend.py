@@ -14,6 +14,7 @@ statistics and returns updated running stats (torch momentum 0.1 semantics).
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -103,6 +104,94 @@ def _conv_pool_relu(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarra
     y = _conv_nobias(p, x, (1, 1), "SAME", dtype)
     y = max_pool2(y)
     return jax.nn.relu(y + p["b"].astype(y.dtype))
+
+
+# Saved-intermediate block2 (conv3+relu+conv4+pool+bias+relu as ONE
+# custom_vjp): the forward runs the same XLA convs as the composite but
+# additionally keeps y3 (the conv3 activation) and the pool's first-wins
+# argmax; the backward then skips XLA's y3 rematerialization and replaces
+# select_and_scatter with a one-hot unpool routed by the saved indices.
+# Measured on v5e (round 3, same-session A/B): STANDALONE it wins —
+# composite fwd+bwd 6.56 ms vs fwd-with-idx 2.80 + saved bwd 2.84
+# (tools/probe_block2.py) — but IN-STEP it loses, 19.89 vs 19.10 ms
+# scan-truth: forcing y3/out/idx as residuals changes what XLA saves
+# and breaks fusions worth more than the 0.9 ms saved (same lesson as
+# the Pallas pool backward: partial replacements pay boundary taxes).
+# Gated OFF; kept + parity-tested (test_block2_saved.py) as the
+# documented attempt. The fully-fused Pallas block2 backward is also
+# gated off (ops/vgg_fused.py BLOCK2_ENABLED — the trace shows XLA's
+# in-step block2 convs already run at ~121 TF/s; the recoverable heat
+# is the ~1 ms of relayout copies at the kernel/conv boundary, not the
+# convs).
+BLOCK2_SAVED_VJP = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _block2_saved(x, w3, b3, w4, b4, dtype):
+    out, _ = _block2_saved_fwd_impl(x, w3, b3, w4, b4, dtype)
+    return out
+
+
+def _pool2_idx(y4):
+    """maxpool2x2 VALID + first-wins argmax over the window in row-major
+    order (matches torch MaxPool2d / select_and_scatter tie-breaking).
+    y4: (B, F, T, C) -> ((B, F2, T2, C), idx int8 in 0..3)."""
+    B, F, T, C = y4.shape
+    F2, T2 = F // 2, T // 2
+    y4 = y4[:, :F2 * 2, :T2 * 2]
+    w = y4.reshape(B, F2, 2, T2, 2, C)
+    cand = jnp.stack([w[:, :, 0, :, 0], w[:, :, 0, :, 1],
+                      w[:, :, 1, :, 0], w[:, :, 1, :, 1]], axis=-1)
+    p = jnp.max(cand, axis=-1)
+    idx = jnp.argmax(cand, axis=-1).astype(jnp.int8)
+    return p, idx
+
+
+def _block2_saved_fwd_impl(x, w3, b3, w4, b4, dtype):
+    y3 = jax.nn.relu(
+        _conv({"w": w3, "b": b3}, x, (1, 1), "SAME", dtype))
+    y4 = _conv_nobias({"w": w4}, y3, (1, 1), "SAME", dtype)
+    p, idx = _pool2_idx(y4)
+    out = jax.nn.relu(p + b4.astype(p.dtype))
+    return out, (x, w3, w4, y3, out, idx)
+
+
+def _block2_saved_fwd(x, w3, b3, w4, b4, dtype):
+    out, res = _block2_saved_fwd_impl(x, w3, b3, w4, b4, dtype)
+    return out, res
+
+
+def _block2_saved_bwd(dtype, res, dout):
+    x, w3, w4, y3, out, idx = res
+    B, F2, T2, C = y3.shape
+    F4, T4 = F2 // 2, T2 // 2
+    dp = jnp.where(out > 0, dout, 0.0).astype(dtype)
+    db4 = jnp.sum(dp.astype(jnp.float32), axis=(0, 1, 2))
+    # unpool: route each pooled grad to its argmax position
+    sel = (jax.nn.one_hot(idx, 4, dtype=dtype)
+           * dp[..., None])                          # (B,F4,T4,C,4)
+    dy4 = (sel.transpose(0, 1, 2, 4, 3)
+           .reshape(B, F4, T4, 2, 2, C)
+           .transpose(0, 1, 3, 2, 4, 5)
+           .reshape(B, F2, T2, C))
+    conv4 = lambda y, w: _conv_nobias({"w": w}, y, (1, 1), "SAME", dtype)
+    _, vjp_w4 = jax.vjp(lambda w: conv4(y3, w), w4)
+    dW4, = vjp_w4(dy4)
+    _, vjp_y3 = jax.vjp(lambda y: conv4(y, w4), y3)
+    dy3, = vjp_y3(dy4)
+    dy3 = jnp.where(y3 > 0, dy3, 0.0).astype(dtype)
+    db3 = jnp.sum(dy3.astype(jnp.float32), axis=(0, 1, 2))
+    conv3 = lambda xx, w: _conv_nobias({"w": w}, xx, (1, 1), "SAME",
+                                       dtype)
+    _, vjp_w3 = jax.vjp(lambda w: conv3(x, w), w3)
+    dW3, = vjp_w3(dy3)
+    _, vjp_x = jax.vjp(lambda xx: conv3(xx, w3), x)
+    dx, = vjp_x(dy3)
+    return (dx.astype(x.dtype), dW3.astype(w3.dtype), db3,
+            dW4.astype(w4.dtype), db4)
+
+
+_block2_saved.defvjp(_block2_saved_fwd, _block2_saved_bwd)
 
 
 def _init_bn(c: int) -> Tuple[Params, Params]:
@@ -213,8 +302,15 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
             x = jax.nn.relu(_conv(params["conv1"], x, (1, 1), "SAME",
                                   dtype))
             x = _conv_pool_relu(params["conv2"], x, dtype)
-        x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME", dtype))
-        x = _conv_pool_relu(params["conv4"], x, dtype)
+        if BLOCK2_SAVED_VJP:
+            # (_pool2_idx crops odd tails exactly like the VALID pool)
+            x = _block2_saved(x, params["conv3"]["w"],
+                              params["conv3"]["b"], params["conv4"]["w"],
+                              params["conv4"]["b"], dtype)
+        else:
+            x = jax.nn.relu(_conv(params["conv3"], x, (1, 1), "SAME",
+                                  dtype))
+            x = _conv_pool_relu(params["conv4"], x, dtype)
         new_state = state
     else:  # emb_cnn
         # Conv2d(1→32, (41,11), stride (2,2), padding (0,10)) — torch pads

@@ -45,11 +45,18 @@ def noam_rate(step: jnp.ndarray, c: NoamConfig) -> jnp.ndarray:
     return jnp.maximum(c.min_lr, rate)
 
 
-def init_adam_state(params) -> Dict:
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return {"step": jnp.zeros((), jnp.int32),
-            "mu": zeros,
-            "nu": jax.tree_util.tree_map(jnp.zeros_like, params)}
+def init_adam_state(params, moments_dtype=None) -> Dict:
+    """moments_dtype=bfloat16 stores mu/nu at half width (the update
+    still computes in f32): cuts the optimizer pass's HBM traffic from
+    28 to 20 bytes/param. Training numerics shift slightly (~2^-9
+    relative on the moments) — opt-in via --adam-moments-dtype, the
+    default reproduces torch.optim.Adam exactly (test_optimizer.py)."""
+    z = (jax.tree_util.tree_map(jnp.zeros_like, params)
+         if moments_dtype is None else
+         jax.tree_util.tree_map(
+             lambda p: jnp.zeros(p.shape, moments_dtype), params))
+    z2 = jax.tree_util.tree_map(jnp.zeros_like, z)
+    return {"step": jnp.zeros((), jnp.int32), "mu": z, "nu": z2}
 
 
 def clip_by_global_norm(grads, max_norm: float):
@@ -74,11 +81,13 @@ def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
 
     def upd(p, g, m, v):
         g = g.astype(jnp.float32)
-        m = c.beta1 * m + (1.0 - c.beta1) * g
-        v = c.beta2 * v + (1.0 - c.beta2) * jnp.square(g)
+        mdt = m.dtype  # moments may be stored bf16 (init_adam_state)
+        m = c.beta1 * m.astype(jnp.float32) + (1.0 - c.beta1) * g
+        v = (c.beta2 * v.astype(jnp.float32)
+             + (1.0 - c.beta2) * jnp.square(g))
         denom = jnp.sqrt(v / bc2) + c.eps
         new_p = p - lr * (m / bc1) / denom
-        return new_p, m, v
+        return new_p, m.astype(mdt), v.astype(mdt)
 
     flat_p, treedef = jax.tree_util.tree_flatten(params)
     flat_g = treedef.flatten_up_to(grads)
@@ -101,7 +110,9 @@ def init_opt_state(cfg, params) -> Dict:
     ``init_optimizer(args, model, opt_type)`` (functions.py:101-114)."""
     if cfg.opt == "sgd_annealing":
         return init_sgd_state(params, cfg.lr)
-    return init_adam_state(params)
+    mdt = (jnp.bfloat16 if getattr(cfg, "adam_moments_dtype",
+                                   "float32") == "bfloat16" else None)
+    return init_adam_state(params, moments_dtype=mdt)
 
 
 def init_sgd_state(params, lr: float) -> Dict:

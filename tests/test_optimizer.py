@@ -143,3 +143,33 @@ def test_sgd_annealing_train_step_runs(tmp_path):
         lambda a, b: float(jnp.max(jnp.abs(a - np.asarray(b)))),
         params_before, params2)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_adam_bf16_moments_tracks_f32():
+    """bf16 moment storage (--adam-moments-dtype bfloat16): update still
+    computed in f32; trajectories track the exact-f32 Adam closely and
+    state stays bf16."""
+    from end2end_asr_tpu.training.optimizer import (adam_noam_update,
+                                                    init_adam_state)
+    rs = np.random.RandomState(5)
+    w0 = rs.randn(16, 8).astype(np.float32)
+    c = NoamConfig(model_size=161, factor=1.0, warmup=100, min_lr=1e-5)
+
+    p32 = {"w": jnp.asarray(w0)}
+    s32 = init_adam_state(p32)
+    p16 = {"w": jnp.asarray(w0)}
+    s16 = init_adam_state(p16, moments_dtype=jnp.bfloat16)
+    assert s16["mu"]["w"].dtype == jnp.bfloat16
+    assert s16["nu"]["w"].dtype == jnp.bfloat16
+
+    for step in range(1, 12):
+        g = {"w": jnp.asarray(rs.randn(16, 8).astype(np.float32))}
+        p32, s32, _ = adam_noam_update(p32, g, s32, c)
+        p16, s16, _ = adam_noam_update(p16, g, s16, c)
+    assert s16["mu"]["w"].dtype == jnp.bfloat16  # dtype preserved
+    a = np.asarray(p16["w"])
+    b = np.asarray(p32["w"])
+    # moments quantized to ~2^-9 relative; params drift accordingly but
+    # stay in lockstep
+    np.testing.assert_allclose(a, b, rtol=0, atol=2e-2 * np.abs(b).max())
+    assert not np.array_equal(a, b)  # the quantization is real

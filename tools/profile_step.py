@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--vocab", type=int, default=4336)
     ap.add_argument("--stage", default="step",
                     choices=["step", "forward", "features"])
+    ap.add_argument("--adam-moments", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -46,13 +48,16 @@ def main():
                                                     init_adam_state)
     from end2end_asr_tpu.training.steps import noam_config_from
 
-    cfg = _flagship_cfg().replace(batch_size=args.batch)
+    cfg = _flagship_cfg().replace(batch_size=args.batch,
+                                  adam_moments_dtype=args.adam_moments)
     dims = dims_from_config(cfg)
     noam = noam_config_from(cfg)
     params, state = jax.jit(functools.partial(
         init_transformer, cfg=cfg, num_vocab=args.vocab))(
             jax.random.PRNGKey(0))
-    opt = init_adam_state(params)
+    opt = init_adam_state(
+        params, moments_dtype=jnp.bfloat16
+        if args.adam_moments == "bfloat16" else None)
     pcm, nf, tg, tl = _synthetic_batch(cfg, args.batch, args.frames,
                                        args.tgt)
     tg = np.minimum(tg, args.vocab - 1).astype(np.int32)
