@@ -33,6 +33,8 @@ def main():
                     choices=["step", "forward", "features"])
     ap.add_argument("--adam-moments", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override cfg.dropout (ablation probes)")
     args = ap.parse_args()
 
     import jax
@@ -50,6 +52,8 @@ def main():
 
     cfg = _flagship_cfg().replace(batch_size=args.batch,
                                   adam_moments_dtype=args.adam_moments)
+    if args.dropout is not None:
+        cfg = cfg.replace(dropout=args.dropout)
     dims = dims_from_config(cfg)
     noam = noam_config_from(cfg)
     params, state = jax.jit(functools.partial(
