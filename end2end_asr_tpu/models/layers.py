@@ -98,11 +98,24 @@ def layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    """Inverted dropout with a uint16 integer-compare mask.
+
+    `bernoulli` draws 32 random bits per element and converts them to a
+    float32 uniform before comparing; a keep-mask only needs enough bits
+    to resolve the rate. Drawing uint16 bits and comparing against
+    round(keep * 2^16) halves the RNG material and skips the int->float
+    convert entirely. The effective keep probability is thresh/2^16
+    (within 2^-16 of `1 - rate`) and the inverse scale uses that exact
+    value, so the estimator stays unbiased.
+    """
     if deterministic or rate <= 0.0:
         return x
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+    thresh = int(round((1.0 - rate) * 65536.0))
+    if thresh >= 65536:
+        return x
+    bits = jax.random.bits(key, x.shape, jnp.uint16)
+    scale = jnp.asarray(65536.0 / thresh, x.dtype)
+    return jnp.where(bits < thresh, x * scale, jnp.zeros_like(x))
 
 
 # ---------------------------------------------------------------------------
@@ -200,15 +213,21 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
     v = dense(p["v"], value, dtype).reshape(B, Tk, num_heads, dim_value)
 
     scale = 1.0 / math.sqrt(dim_key)  # temperature = sqrt(dim_key)
-    attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-    if mask is not None:
-        attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
-    attn = jax.nn.softmax(attn, axis=-1)
+
+    def attn_core(q, k, v, mask, sub):
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+        if mask is not None:
+            attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
+        attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+        if sub is not None:
+            attn = dropout(sub, attn, dropout_rate, deterministic)
+        return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
     if not deterministic and dropout_rate > 0.0:
         rng, sub = jax.random.split(rng)
-        attn = dropout(sub, attn, dropout_rate, deterministic)
-
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(dtype), v)
+        out = attn_core(q, k, v, mask, sub)
+    else:
+        out = attn_core(q, k, v, mask, None)
     out = out.reshape(B, Tq, num_heads * dim_value)
     out = dense(p["out"], out.astype(dtype), dtype).astype(jnp.float32)
     if not deterministic and dropout_rate > 0.0:

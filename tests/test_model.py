@@ -120,6 +120,25 @@ def test_forward_train_mode_with_dropout_runs():
     assert np.all(np.isfinite(np.asarray(pred)))
 
 
+def test_dropout_u16_mask_semantics():
+    # layers.dropout draws uint16 bits and integer-compares against
+    # round(keep * 2^16); the keep fraction and the inverse scaling must
+    # stay consistent (unbiased estimator of the identity).
+    x = jnp.ones((512, 1024), jnp.float32)
+    y = np.asarray(jax.jit(L.dropout, static_argnums=(2, 3))(
+        jax.random.PRNGKey(3), x, 0.1, False))
+    eff_keep = round(0.9 * 65536) / 65536
+    frac = float(np.mean(y > 0))
+    assert abs(frac - eff_keep) < 3e-3
+    assert abs(float(y.mean()) - 1.0) < 6e-3
+    kept = y[y > 0]
+    np.testing.assert_allclose(kept, 65536.0 / round(0.9 * 65536),
+                               rtol=1e-6)
+    # identity paths
+    assert L.dropout(jax.random.PRNGKey(0), x, 0.0, False) is x
+    assert L.dropout(jax.random.PRNGKey(0), x, 0.5, True) is x
+
+
 def test_conv_dim_input_arithmetic():
     # utils/functions.py:116-133: vgg 161 -> 40*128 = 5120; emb -> 672
     cfg = Config(feat_extractor="vgg_cnn")
