@@ -24,6 +24,7 @@ jax.sharding and trivially checkpointable.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, Optional
 
 import jax
@@ -180,6 +181,16 @@ def sinusoid_table(max_length: int, dim_model: int) -> jnp.ndarray:
 # Multi-head attention (common_layers.py:144-225)
 # ---------------------------------------------------------------------------
 
+# Fused train-attention kernel gate (ops/attention_fused.py). TPU-only:
+# the XLA formulation below stays for CPU/eval, and interpret-mode tests
+# exercise the kernel explicitly. FLASH_ATTN=0 env flips it off for A/Bs.
+FLASH_ATTN_ENABLED = os.environ.get("FLASH_ATTN", "1") != "0"
+
+
+def _use_flash_attn(mask) -> bool:
+    return (FLASH_ATTN_ENABLED and mask is not None
+            and jax.default_backend() == "tpu")
+
 def init_mha(key, num_heads: int, dim_model: int, dim_key: int,
              dim_value: int, rank: int = 0) -> Params:
     kq, kk, kv, ko, kln = jax.random.split(key, 5)
@@ -213,21 +224,33 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
     v = dense(p["v"], value, dtype).reshape(B, Tk, num_heads, dim_value)
 
     scale = 1.0 / math.sqrt(dim_key)  # temperature = sqrt(dim_key)
+    training = not deterministic and dropout_rate > 0.0
 
-    def attn_core(q, k, v, mask, sub):
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-        if mask is not None:
-            attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
-        if sub is not None:
-            attn = dropout(sub, attn, dropout_rate, deterministic)
-        return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-
-    if not deterministic and dropout_rate > 0.0:
+    if training and _use_flash_attn(mask):
+        from end2end_asr_tpu.ops import attention_fused as AF
         rng, sub = jax.random.split(rng)
-        out = attn_core(q, k, v, mask, sub)
+        bias = jnp.where(mask, jnp.float32(-1e9), jnp.float32(0.0))
+        out = AF.flash_mha_train(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), jax.lax.stop_gradient(bias),
+            AF.seed_from_key(sub), dropout_rate)
+        out = jnp.swapaxes(out, 1, 2)
     else:
-        out = attn_core(q, k, v, mask, None)
+        def attn_core(q, k, v, mask, sub):
+            attn = (jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+                    * scale)
+            if mask is not None:
+                attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1).astype(dtype)
+            if sub is not None:
+                attn = dropout(sub, attn, dropout_rate, deterministic)
+            return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        if training:
+            rng, sub = jax.random.split(rng)
+            out = attn_core(q, k, v, mask, sub)
+        else:
+            out = attn_core(q, k, v, mask, None)
     out = out.reshape(B, Tq, num_heads * dim_value)
     out = dense(p["out"], out.astype(dtype), dtype).astype(jnp.float32)
     if not deterministic and dropout_rate > 0.0:
