@@ -294,6 +294,12 @@ def apply_frontend(params: Optional[Params], state: Optional[Params],
             B, Fp, C_, Tp = y_t.shape
             x = jnp.transpose(y_t, (0, 3, 2, 1)).reshape(B, Tp, C_ * Fp)
             return x.astype(jnp.float32), state
+        # Measured dead-end (tools/probe_nhcw.py): feeding conv3 the
+        # block1 kernel's native (B,F',C,T') output via lhs_spec "NHCW"
+        # (skipping the logical transpose) is numerically exact but a
+        # perf wash — XLA canonicalizes custom dimension numbers back to
+        # the same relayout copies (standalone fwd+bwd 11.48 vs 11.44 ms,
+        # in-step within drift noise, grad HLO byte-identical).
         if fused1:
             x = vgg_block1(spect, params["conv1"]["w"],
                            params["conv1"]["b"], params["conv2"]["w"],

@@ -11,7 +11,11 @@ The hybrid candidate costs ~ B + C + y3/idx emission (~0.2 ms HBM).
 """
 
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
