@@ -160,6 +160,10 @@ class Config:
     tgt_buckets: Tuple[int, ...] = (50, 100, 200, 400, 1000)
     # Mesh axes for SPMD execution; data axis replaces --parallel/--device-ids.
     mesh_data: int = 0  # 0 = use all visible devices on the data axis
+    # tensor parallelism: devices on the 'model' mesh axis (parallel/tp.py);
+    # attention/FFN weights + Adam moments shard Megatron-style, XLA GSPMD
+    # inserts the per-layer all-reduces. 1 = off (data parallelism only).
+    mesh_model: int = 1
     # Reference passes raw frame lengths to post-conv (T/4) tensors, which
     # makes encoder/cross-attn pad masks a no-op when a conv frontend is on
     # (transformer.py:78, SURVEY.md §7). True = reproduce; False = compute
@@ -329,6 +333,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-max-len", default=300, type=int)
     p.add_argument("--mesh-data", default=0, type=int,
                    help="devices on the data-parallel mesh axis (0 = all)")
+    p.add_argument("--mesh-model", default=1, type=int,
+                   help="devices on the tensor-parallel 'model' mesh axis "
+                        "(attention/FFN weights shard Megatron-style; "
+                        "1 = data parallelism only)")
     p.add_argument("--no-ref-compat-masks", dest="ref_compat_masks",
                    action="store_false",
                    help="use properly subsampled encoder pad masks instead "

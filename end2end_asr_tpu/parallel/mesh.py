@@ -15,9 +15,11 @@ transfers the full batch. Losses/grads are computed globally by XLA.
 Limitation: the host-side train-CER logging decodes only locally
 addressable rows, so set --metrics-every high on pods.
 
-The mesh reserves room for more axes (seq/tensor) — the ASR models here
-fit comfortably on one chip, so data is the only axis populated, matching
-the reference's capability envelope (SURVEY.md §2.3).
+Tensor parallelism (beyond the reference's envelope, SURVEY.md §2.3)
+lives in parallel/tp.py: --mesh-model N builds a ('data','model') 2-D
+mesh and shards attention/FFN weights (and their Adam moments)
+Megatron-style; batch_sharded specs below stay valid there — P('data',…)
+replicates over the extra axis.
 """
 
 from __future__ import annotations

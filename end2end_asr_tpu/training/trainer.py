@@ -95,6 +95,22 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), tree)
 
+    def _place_model(self, params, opt_state, model_state):
+        """Params/opt-state placement under the mesh: replicated on a 1-D
+        data mesh; attention/FFN weights (and their Adam moments) sharded
+        on the 'model' axis of a 2-D mesh (parallel/tp.py)."""
+        if self.mesh is None:
+            return params, opt_state, model_state
+        from end2end_asr_tpu.parallel.tp import (mesh_model_size,
+                                                 shard_opt_state,
+                                                 shard_params)
+        if mesh_model_size(self.mesh) <= 1:
+            return (self._replicate(params), self._replicate(opt_state),
+                    self._replicate(model_state))
+        return (shard_params(self.mesh, params),
+                shard_opt_state(self.mesh, opt_state, params),
+                self._replicate(model_state))
+
     def _accumulate_cer(self, hyp_seq, gold_seq, totals: Dict) -> None:
         for hyp_row, gold_row in zip(np.asarray(hyp_seq), np.asarray(gold_seq)):
             hyp = strip_specials(
@@ -140,9 +156,8 @@ class Trainer:
             (last_metrics or {}).get("history", []))
         best_valid_loss = (last_metrics or {}).get("valid_loss", 1e9)
         rng = jax.random.PRNGKey(cfg.seed)
-        params = self._replicate(params)
-        opt_state = self._replicate(opt_state)
-        model_state = self._replicate(model_state)
+        params, opt_state, model_state = self._place_model(
+            params, opt_state, model_state)
 
         train_step = None  # built lazily on first batch (pcm vs spect)
         eval_step = None

@@ -133,9 +133,16 @@ def main(argv=None, trainer_cls=Trainer):
 
     mesh = None
     if cfg.parallel:
-        mesh = make_mesh(cfg.mesh_data)
+        if cfg.mesh_model > 1:
+            from end2end_asr_tpu.parallel.tp import (check_tp_divisibility,
+                                                     make_mesh_2d)
+            check_tp_divisibility(cfg, cfg.mesh_model)
+            mesh = make_mesh_2d(cfg.mesh_model, cfg.mesh_data)
+            logger.info("data x model mesh: %s", mesh)
+        else:
+            mesh = make_mesh(cfg.mesh_data)
+            logger.info("data-parallel mesh: %s", mesh)
         check_divisible(cfg.batch_size, mesh)
-        logger.info("data-parallel mesh: %s", mesh)
 
     trainer = trainer_cls(cfg, label2id, id2label,
                           metrics_every=cfg.metrics_every)
