@@ -134,6 +134,12 @@ class Config:
     # jax.checkpoint the encoder/decoder layer blocks: trades ~30% extra
     # FLOPs for O(layers) less activation memory — enables bigger batches
     remat: bool = False
+    # gradient accumulation: split each batch into K sequential
+    # microbatches inside the jitted step (lax.scan) — peak activation
+    # memory drops ~K x while grads/loss stay EXACTLY the full-batch
+    # values (training/steps.py re-weights the CE masked-mean by token
+    # counts). Composes with --remat for the biggest effective batches.
+    grad_accum: int = 1
     # resume from the newest epoch checkpoint of this run automatically
     # (preemption recovery); --continue-from takes precedence
     auto_resume: bool = False
@@ -314,6 +320,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="low-rank factorization rank (LRTRFS); 0 = full")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize transformer layers in backward")
+    p.add_argument("--grad-accum", default=1, type=int,
+                   help="accumulate gradients over K microbatches per "
+                        "step (exact full-batch numerics, ~K x less "
+                        "activation memory)")
     p.add_argument("--metrics-every", default=1, type=int,
                    help="host-side train CER/WER every Nth batch")
     p.add_argument("--spec-augment", action="store_true",

@@ -57,11 +57,10 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
     noam = noam_config_from(cfg)
     smoothing = cfg.label_smoothing
     loss_type = cfg.loss
+    accum = max(1, int(getattr(cfg, "grad_accum", 1)))
 
-    @functools.partial(jax.jit, static_argnames=("spect_T",),
-                       donate_argnums=(0, 1))
-    def step(params, opt_state, model_state, rng,
-             pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
+    def _micro_loss_fn(p, model_state, rng, pcm_or_spect, n_frames,
+                       targets, tgt_lengths, spect_T):
         batch = ({"pcm": pcm_or_spect, "spect": None}
                  if from_pcm else {"pcm": None, "spect": pcm_or_spect})
         batch["n_frames"] = n_frames
@@ -90,8 +89,75 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
                                   smoothing, loss_type)
             return loss, (pred, gold, new_state)
 
-        (loss, (pred, gold, new_state)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(p)
+
+    def _accumulated_grads(params, model_state, rng, pcm_or_spect,
+                           n_frames, targets, tgt_lengths, spect_T):
+        """K sequential microbatches inside one program: lax.scan
+        rematerializes each microbatch's activations, so peak memory is
+        1/K of the full batch while grads/loss are EXACTLY the full-batch
+        values — the CE masked-mean is re-weighted by each microbatch's
+        non-PAD token count (CTC 'mean' weights microbatches uniformly;
+        sizes are equal by construction). BN running stats advance once
+        per microbatch (same as torch seeing K small batches)."""
+        B = targets.shape[0]
+        if B % accum != 0:
+            raise ValueError(
+                f"--grad-accum {accum} must divide the batch size {B}")
+
+        def resh(a):
+            return a.reshape(accum, B // accum, *a.shape[1:])
+
+        xs = (resh(pcm_or_spect), resh(n_frames), resh(targets),
+              resh(tgt_lengths), jax.random.split(rng, accum))
+        g0 = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        carry0 = (g0, model_state, jnp.float32(0.0), jnp.float32(0.0))
+
+        def body(carry, x):
+            g_acc, state_c, loss_acc, w_acc = carry
+            mb_arr, mb_nf, mb_tg, mb_tl, mb_rng = x
+            (loss, (pred, gold, new_state)), grads = _micro_loss_fn(
+                params, state_c, mb_rng, mb_arr, mb_nf, mb_tg, mb_tl,
+                spect_T)
+            if loss_type == "ce":
+                w = jnp.sum(gold != 0).astype(jnp.float32)
+            else:
+                w = jnp.float32(1.0)
+            g_acc = jax.tree_util.tree_map(
+                lambda a, g: a + g.astype(jnp.float32) * w, g_acc, grads)
+            hyp = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+            ncorr = token_accuracy(pred, gold)
+            ntok = jnp.sum(gold != 0)
+            return ((g_acc, new_state, loss_acc + loss * w, w_acc + w),
+                    (hyp, gold, ncorr, ntok))
+
+        (g_acc, new_state, loss_acc, w_acc), ys = jax.lax.scan(
+            body, carry0, xs)
+        hyp_k, gold_k, ncorr_k, ntok_k = ys
+        inv = 1.0 / jnp.maximum(w_acc, 1.0)
+        grads = jax.tree_util.tree_map(lambda g: g * inv, g_acc)
+        loss = loss_acc * inv
+        hyp_seq = hyp_k.reshape(B, *hyp_k.shape[2:])
+        gold = gold_k.reshape(B, *gold_k.shape[2:])
+        return (loss, grads, new_state, hyp_seq, gold,
+                jnp.sum(ncorr_k), jnp.sum(ntok_k))
+
+    @functools.partial(jax.jit, static_argnames=("spect_T",),
+                       donate_argnums=(0, 1))
+    def step(params, opt_state, model_state, rng,
+             pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
+        if accum > 1:
+            (loss, grads, new_state, hyp_seq_acc, gold_acc, ncorr_acc,
+             ntok_acc) = _accumulated_grads(
+                params, model_state, rng, pcm_or_spect, n_frames,
+                targets, tgt_lengths, spect_T)
+            pred = None
+            gold = gold_acc
+        else:
+            (loss, (pred, gold, new_state)), grads = _micro_loss_fn(
+                params, model_state, rng, pcm_or_spect, n_frames,
+                targets, tgt_lengths, spect_T)
 
         # Inf/NaN loss → skip the batch (trainer.py:87-90). Per-leaf
         # selects instead of lax.cond: the TPU conditional materialized
@@ -120,13 +186,19 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
         new_opt = pick(upd_opt, opt_state)
         lr = jnp.where(finite, upd_lr, skip_lr)
 
-        hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+        if accum > 1:
+            hyp_seq = hyp_seq_acc
+            num_correct, num_token = ncorr_acc, ntok_acc
+        else:
+            hyp_seq = jnp.argmax(pred, axis=-1).astype(jnp.int32)
+            num_correct = token_accuracy(pred, gold)
+            num_token = jnp.sum(gold != 0)
         metrics = {
             "loss": jnp.where(finite, loss, 0.0),
             "finite": finite,
             "lr": lr,
-            "num_correct": token_accuracy(pred, gold),
-            "num_token": jnp.sum(gold != 0),
+            "num_correct": num_correct,
+            "num_token": num_token,
         }
         return new_params, new_opt, new_state, metrics, hyp_seq, gold
 
