@@ -140,6 +140,11 @@ class Config:
     # values (training/steps.py re-weights the CE masked-mean by token
     # counts). Composes with --remat for the biggest effective batches.
     grad_accum: int = 1
+    # dispatch K optimizer steps as ONE device program (lax.scan over K
+    # stacked same-bucket batches): identical numerics, 1/K the host
+    # dispatch + metrics-pull overhead — for hosts/tunnels slower than
+    # the chip (training/steps.py make_multi_train_step)
+    steps_per_dispatch: int = 1
     # resume from the newest epoch checkpoint of this run automatically
     # (preemption recovery); --continue-from takes precedence
     auto_resume: bool = False
@@ -324,6 +329,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulate gradients over K microbatches per "
                         "step (exact full-batch numerics, ~K x less "
                         "activation memory)")
+    p.add_argument("--steps-per-dispatch", default=1, type=int,
+                   help="run K optimizer steps per device dispatch "
+                        "(exact numerics; amortizes host/tunnel "
+                        "dispatch overhead)")
     p.add_argument("--metrics-every", default=1, type=int,
                    help="host-side train CER/WER every Nth batch")
     p.add_argument("--spec-augment", action="store_true",

@@ -53,7 +53,10 @@ def _features_or_passthrough(cfg: Config, batch: Dict):
               cfg.window, T_out=batch["spect_T"], normalize=True)
 
 
-def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
+    """The full train-step body, unjitted — shared by make_train_step
+    (one jitted program per bucket) and make_multi_train_step (a
+    lax.scan over K stacked batches, amortizing host dispatch)."""
     noam = noam_config_from(cfg)
     smoothing = cfg.label_smoothing
     loss_type = cfg.loss
@@ -143,8 +146,6 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
         return (loss, grads, new_state, hyp_seq, gold,
                 jnp.sum(ncorr_k), jnp.sum(ntok_k))
 
-    @functools.partial(jax.jit, static_argnames=("spect_T",),
-                       donate_argnums=(0, 1))
     def step(params, opt_state, model_state, rng,
              pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
         if accum > 1:
@@ -203,6 +204,45 @@ def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
         return new_params, new_opt, new_state, metrics, hyp_seq, gold
 
     return step
+
+
+def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+    impl = make_train_step_impl(cfg, dims, from_pcm)
+    return functools.partial(jax.jit, static_argnames=("spect_T",),
+                             donate_argnums=(0, 1))(impl)
+
+
+def make_multi_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+    """K optimizer steps in ONE dispatched program (--steps-per-dispatch).
+
+    lax.scan over K stacked same-bucket batches applies the exact
+    single-step body K times — numerics identical to K separate
+    dispatches (same traced computation, same RNG stream; pinned by
+    tests/test_multi_dispatch.py). The win is host-side: one dispatch,
+    one metrics pull and one tunnel round-trip per K batches, which
+    matters when the host (1 vCPU here) or the dispatch channel is the
+    bottleneck rather than the chip. The trainer groups consecutive
+    equal-shape batches and falls back to the single-step program for
+    partial groups (training/trainer.py)."""
+    impl = make_train_step_impl(cfg, dims, from_pcm)
+
+    @functools.partial(jax.jit, static_argnames=("spect_T",),
+                       donate_argnums=(0, 1))
+    def multi_step(params, opt_state, model_state, rngs,
+                   pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
+        def body(carry, x):
+            p, o, s = carry
+            rng, arr, nf, tg, tl = x
+            p, o, s, m, hyp, gold = impl(p, o, s, rng, arr, nf, tg, tl,
+                                         spect_T)
+            return (p, o, s), (m, hyp, gold)
+
+        (params, opt_state, model_state), (ms, hyps, golds) = jax.lax.scan(
+            body, (params, opt_state, model_state),
+            (rngs, pcm_or_spect, n_frames, targets, tgt_lengths))
+        return params, opt_state, model_state, ms, hyps, golds
+
+    return multi_step
 
 
 def make_eval_step(cfg: Config, dims: ModelDims, from_pcm: bool):

@@ -174,33 +174,42 @@ class Trainer:
 
             # Deferred metrics: host reads block on the device (and, on
             # this image, pay a tunnel round trip), so metric pulls trail
-            # the dispatched step by `depth` iterations — the device
-            # pipeline never stalls on logging.
+            # the dispatched step by `depth` chunks — the device pipeline
+            # never stalls on logging. A chunk is one dispatch: a single
+            # batch, or K stacked batches under --steps-per-dispatch
+            # (whose metrics arrive in ONE device_get for all K).
             pending = []
 
-            def drain(entry, i):
+            def drain(chunk):
                 nonlocal lr
-                m, hyp_seq, gold_seq, n_utts, secs = entry
-                loss = float(m["loss"])
-                lr = float(m["lr"])
-                if not bool(m["finite"]):
-                    # skip the batch entirely before any accumulation,
-                    # matching the reference's `continue` (trainer.py:87-90)
-                    logger.info("Found infinity loss, masking")
-                    return
-                totals["loss"] += loss
-                totals["batches"] += 1
-                meter.stop(n_utts, secs)
-                meter.start()
-                if i % self.metrics_every == 0:
-                    self._accumulate_cer(hyp_seq, gold_seq, totals)
-                if i % 20 == 0:
-                    logger.info(
-                        "(Epoch %d) it %d TRAIN LOSS:%.4f CER:%.2f%% "
-                        "LR:%.7f utt/s:%.1f", epoch + 1, i,
-                        totals["loss"] / max(totals["batches"], 1),
-                        totals["cer"] * 100 / totals["char"], lr,
-                        meter.utts_per_sec)
+                metas, ms, hyps, golds = chunk
+                ms, hyps, golds = jax.device_get((ms, hyps, golds))
+                stacked = len(metas) > 1
+                for j, (idx, n_utts, secs) in enumerate(metas):
+                    m = ({k: v[j] for k, v in ms.items()} if stacked
+                         else ms)
+                    hyp_seq = hyps[j] if stacked else hyps
+                    gold_seq = golds[j] if stacked else golds
+                    if not bool(m["finite"]):
+                        # skip the batch entirely before any accumulation,
+                        # matching the reference's `continue`
+                        # (trainer.py:87-90)
+                        logger.info("Found infinity loss, masking")
+                        continue
+                    totals["loss"] += float(m["loss"])
+                    lr = float(m["lr"])
+                    totals["batches"] += 1
+                    meter.stop(n_utts, secs)
+                    meter.start()
+                    if idx % self.metrics_every == 0:
+                        self._accumulate_cer(hyp_seq, gold_seq, totals)
+                    if idx % 20 == 0:
+                        logger.info(
+                            "(Epoch %d) it %d TRAIN LOSS:%.4f CER:%.2f%% "
+                            "LR:%.7f utt/s:%.1f", epoch + 1, idx,
+                            totals["loss"] / max(totals["batches"], 1),
+                            totals["cer"] * 100 / totals["char"], lr,
+                            meter.utts_per_sec)
 
             if prefetch:
                 shardings = None
@@ -216,15 +225,62 @@ class Trainer:
                 iterator = Prefetcher(train_loader, shardings=shardings)
             else:
                 iterator = train_loader
+            # --steps-per-dispatch K: buffer K consecutive same-shape
+            # batches and run them as ONE scanned device program
+            # (steps.py make_multi_train_step) — identical numerics,
+            # 1/K the dispatch + metrics-pull overhead. Partial groups
+            # (bucket change, epoch end) fall back to the single-step
+            # program.
+            steps_k = max(1, getattr(cfg, "steps_per_dispatch", 1))
+            multi_step = None
+            group: List = []   # (entry, key) buffered for one dispatch
+            fp_flag = False
+
+            def run_single(entry):
+                nonlocal params, opt_state, model_state
+                idx, sub, arr, nf, tg, tl, bucket, n_utts, secs = entry
+                (params, opt_state, model_state, m, hyp_seq, gold_seq
+                 ) = train_step(params, opt_state, model_state, sub,
+                                arr, nf, tg, tl, spect_T=bucket)
+                pending.append(([(idx, n_utts, secs)], m, hyp_seq,
+                                gold_seq))
+
+            def flush_group():
+                nonlocal params, opt_state, model_state, multi_step
+                if not group:
+                    return
+                entries = [e for e, _ in group]
+                group.clear()
+                if len(entries) < steps_k:
+                    for e in entries:
+                        run_single(e)
+                    return
+                if multi_step is None:
+                    from end2end_asr_tpu.training.steps import \
+                        make_multi_train_step
+                    multi_step = make_multi_train_step(cfg, self.dims,
+                                                       fp_flag)
+                import jax.numpy as jnp
+                subs, arrs, nfs, tgs, tls = (
+                    jnp.stack([e[c] for e in entries])
+                    for c in range(1, 6))
+                (params, opt_state, model_state, ms, hyps, golds
+                 ) = multi_step(params, opt_state, model_state, subs,
+                                arrs, nfs, tgs, tls,
+                                spect_T=entries[0][6])
+                pending.append(([(e[0], e[7], e[8]) for e in entries],
+                                ms, hyps, golds))
+
             with contextlib.ExitStack() as stack:
                 if cfg.trace_dir and epoch == start_epoch:
                     # --trace-dir: jax.profiler trace of the first epoch
                     stack.enter_context(trace(cfg.trace_dir))
                 meter.start()
-                i = -1
+                group_key = None
                 for i, batch in enumerate(iterator):
                     from_pcm, arr = self._batch_arrays(batch)
                     if train_step is None:
+                        fp_flag = from_pcm
                         train_step = make_train_step(cfg, self.dims,
                                                      from_pcm)
                         eval_step = make_eval_step(cfg, self.dims, from_pcm)
@@ -232,17 +288,25 @@ class Trainer:
                     arr, n_frames, targets, tgt_lengths = self._put_batch(
                         arr, batch.n_frames, batch.targets,
                         batch.tgt_lengths)
-                    (params, opt_state, model_state, m, hyp_seq, gold_seq
-                     ) = train_step(params, opt_state, model_state, sub,
-                                    arr, n_frames, targets, tgt_lengths,
-                                    spect_T=batch.src_bucket)
-                    pending.append((m, hyp_seq, gold_seq,
-                                    batch.targets.shape[0],
-                                    batch.utt_seconds))
-                    if len(pending) > 2:
-                        drain(pending.pop(0), i - 2)
-                for j, entry in enumerate(pending):
-                    drain(entry, max(i - len(pending) + 1 + j, 0))
+                    entry = (i, sub, arr, n_frames, targets, tgt_lengths,
+                             batch.src_bucket, batch.targets.shape[0],
+                             batch.utt_seconds)
+                    if steps_k > 1:
+                        key = (batch.src_bucket, tuple(np.shape(arr)),
+                               tuple(np.shape(targets)))
+                        if group and key != group_key:
+                            flush_group()
+                        group_key = key
+                        group.append((entry, key))
+                        if len(group) == steps_k:
+                            flush_group()
+                    else:
+                        run_single(entry)
+                    while len(pending) > 2:
+                        drain(pending.pop(0))
+                flush_group()
+                for chunk in pending:
+                    drain(chunk)
 
             n_batches = max(totals["batches"], 1)
             train_loss = totals["loss"] / n_batches
