@@ -190,3 +190,37 @@ def test_trainer_place_model_uses_tp_shardings():
     assert _sharded_leaf_count(p, mesh) > 0
     assert _sharded_leaf_count(o["mu"], mesh) > 0
     assert _sharded_leaf_count(s, mesh) == 0  # BN stats replicate
+
+
+def test_checkpoint_roundtrip_under_tp(tmp_path):
+    """TP-sharded params/Adam moments save through the npz path (the
+    single-process np.asarray gather) and reload bit-equal — the
+    preemption/recovery story must survive --mesh-model (the shardings
+    are a placement property, not a value property)."""
+    from end2end_asr_tpu.training.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+
+    mesh = make_mesh_2d(2)  # 4x2
+    dims = dims_from_config(CFG)
+    params, state = _init()
+    opt = shard_opt_state(mesh, init_adam_state(params), params)
+    params = shard_params(mesh, params)
+    spect, nf, tg, tl = _batch(4)
+    put = lambda a: jax.device_put(a, batch_sharded(mesh, np.ndim(a)))
+    step = make_train_step(CFG, dims, from_pcm=False)
+    params, opt, state, m, _, _ = step(
+        params, opt, state, jax.random.PRNGKey(1), put(spect), put(nf),
+        put(tg), put(tl), spect_T=64)
+    assert np.isfinite(float(m["loss"]))
+
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, CFG, 1, params, opt, state,
+                    {"a": 3}, {3: "a"})
+    _, epoch, p2, o2, s2, _, _, _ = load_checkpoint(base)
+    assert epoch == 1
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree_util.tree_leaves(opt),
+                    jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), b)
