@@ -233,7 +233,7 @@ class Trainer:
             # program.
             steps_k = max(1, getattr(cfg, "steps_per_dispatch", 1))
             multi_step = None
-            group: List = []   # (entry, key) buffered for one dispatch
+            group: List = []   # entries buffered for one dispatch
             fp_flag = False
 
             def run_single(entry):
@@ -249,7 +249,7 @@ class Trainer:
                 nonlocal params, opt_state, model_state, multi_step
                 if not group:
                     return
-                entries = [e for e, _ in group]
+                entries = list(group)
                 group.clear()
                 if len(entries) < steps_k:
                     for e in entries:
@@ -297,7 +297,7 @@ class Trainer:
                         if group and key != group_key:
                             flush_group()
                         group_key = key
-                        group.append((entry, key))
+                        group.append(entry)
                         if len(group) == steps_k:
                             flush_group()
                     else:
@@ -324,6 +324,22 @@ class Trainer:
             for ind, valid_loader in enumerate(valid_loader_list):
                 vtot = {"loss": 0.0, "cer": 0, "wer": 0, "char": 1e-9,
                         "word": 1e-9, "batches": 0}
+                # same deferred-drain pipeline as the train loop: the
+                # device runs ahead while the host pulls the previous
+                # batches' loss/argmax (one round-trip each on the
+                # tunnel) and decodes CER strings
+                vpend: List = []
+
+                def vdrain(entry):
+                    loss, hyp_seq, gold_seq = jax.device_get(entry)
+                    loss = float(loss)
+                    if not np.isfinite(loss):
+                        logger.info("Found infinity loss, masking")
+                        return
+                    vtot["loss"] += loss
+                    vtot["batches"] += 1
+                    self._accumulate_cer(hyp_seq, gold_seq, vtot)
+
                 for batch in valid_loader:
                     from_pcm, arr = self._batch_arrays(batch)
                     if eval_step is None:
@@ -331,17 +347,14 @@ class Trainer:
                     arr, n_frames, targets, tgt_lengths = self._put_batch(
                         arr, batch.n_frames, batch.targets,
                         batch.tgt_lengths)
-                    loss, hyp_seq, gold_seq = eval_step(
+                    vpend.append(eval_step(
                         params, model_state, arr, n_frames,
                         targets, tgt_lengths,
-                        spect_T=batch.src_bucket)
-                    loss = float(loss)
-                    if not np.isfinite(loss):
-                        logger.info("Found infinity loss, masking")
-                        continue
-                    vtot["loss"] += loss
-                    vtot["batches"] += 1
-                    self._accumulate_cer(hyp_seq, gold_seq, vtot)
+                        spect_T=batch.src_bucket))
+                    if len(vpend) > 2:
+                        vdrain(vpend.pop(0))
+                for entry in vpend:
+                    vdrain(entry)
                 vloss = vtot["loss"] / max(vtot["batches"], 1)
                 self._log_valid(epoch, ind,
                                 vloss, vtot["cer"] * 100 / vtot["char"])
