@@ -187,9 +187,20 @@ def sinusoid_table(max_length: int, dim_model: int) -> jnp.ndarray:
 FLASH_ATTN_ENABLED = os.environ.get("FLASH_ATTN", "1") != "0"
 
 
-def _use_flash_attn(mask) -> bool:
+def flash_attn_fits(num_heads: int, Tq: int, Tk: int) -> bool:
+    """The kernel keeps whole (H·Tq, Tk) score tiles in VMEM scratch —
+    2×f32 + 1×bf16 in the backward (~10 B/elem) plus the q/k/v/g blocks.
+    Long buckets (src_buckets ladders reach 4000 frames) overflow the
+    ~16 MB of VMEM, so gate by the estimate and fall back to the XLA
+    formulation; at ≤8 MB scratch the win was measured, beyond it the
+    kernel would not even compile."""
+    return num_heads * Tq * Tk * 10 <= 8 * 1024 * 1024
+
+
+def _use_flash_attn(mask, num_heads: int, Tq: int, Tk: int) -> bool:
     return (FLASH_ATTN_ENABLED and mask is not None
-            and jax.default_backend() == "tpu")
+            and jax.default_backend() == "tpu"
+            and flash_attn_fits(num_heads, Tq, Tk))
 
 def init_mha(key, num_heads: int, dim_model: int, dim_key: int,
              dim_value: int, rank: int = 0) -> Params:
@@ -226,7 +237,7 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
     scale = 1.0 / math.sqrt(dim_key)  # temperature = sqrt(dim_key)
     training = not deterministic and dropout_rate > 0.0
 
-    if training and _use_flash_attn(mask):
+    if training and _use_flash_attn(mask, num_heads, Tq, Tk):
         from end2end_asr_tpu.ops import attention_fused as AF
         rng, sub = jax.random.split(rng)
         bias = jnp.where(mask, jnp.float32(-1e9), jnp.float32(0.0))

@@ -121,7 +121,8 @@ def test_keep_fraction_statistic():
 def test_mha_flash_path_matches_xla_with_same_mask(monkeypatch):
     """Force the flash path inside layers.mha on CPU and check it against
     the XLA formulation fed the kernel's extracted dropout mask."""
-    monkeypatch.setattr(L, "_use_flash_attn", lambda mask: mask is not None)
+    monkeypatch.setattr(L, "_use_flash_attn",
+                        lambda mask, *dims: mask is not None)
     r = np.random.RandomState(1)
     dim_model = H * Dk
     p = L.init_mha(jax.random.PRNGKey(0), H, dim_model, Dk, Dv)
@@ -181,3 +182,16 @@ def test_partitioned_rate0_under_mesh():
         got = f(q, k, v, bias, seed)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
                                atol=1e-6)
+
+
+def test_flash_gate_excludes_vmem_overflow_shapes():
+    """Long buckets (src ladder reaches 4000 frames) must fall back to
+    the XLA path: the kernel's (H*Tq, Tk) VMEM scratch would not
+    compile there. Boundary: flagship encoder shapes stay fused."""
+    from end2end_asr_tpu.models.layers import flash_attn_fits
+
+    assert flash_attn_fits(8, 200, 200)        # 800-frame bucket / vgg
+    assert flash_attn_fits(8, 48, 200)         # decoder cross-attn
+    assert not flash_attn_fits(8, 400, 400)    # 1600-frame bucket / vgg
+    assert not flash_attn_fits(8, 1000, 1000)  # 4000-frame bucket / vgg
+    assert not flash_attn_fits(8, 4000, 4000)  # no-frontend worst case
