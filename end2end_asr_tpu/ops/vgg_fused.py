@@ -61,10 +61,32 @@ def _pick_chunk(Fp: int, target: int):
     return None
 
 
+def _vmem_bytes_per_lane(CH: int) -> int:
+    """Per-Th-lane VMEM demand of the BACKWARD grid cell (the larger of
+    the two): pipelined spect chunk blocks (×2 for double buffering),
+    the g/out/idx big blocks, and the SP/XI/dx scratch — every buffer's
+    last dim is Th, so total VMEM scales linearly in T."""
+    blocks = (6 * 2 * CH * 4 + 2 * 8 * 4) * 2       # se/so chunks + tails
+    big = CH * C * (2 + 2 + 1) * 2                  # g, out (bf16), idx (u8)
+    sp = 2 * 8 * (2 * CH + 4) * 4                   # SPe/SPo f32
+    xi = 2 * 3 * C * (2 * CH + 2) * 2               # XIe/XIo cdt
+    dx = 2 * C * (2 * CH + 2) * 4                   # dxe/dxo f32
+    return blocks + big + sp + xi + dx
+
+
 def supported(F: int, T: int) -> bool:
-    """True when the fused kernel can handle this (F, T)."""
-    return (T % 2 == 0 and F >= 8
-            and _pick_chunk(F // 2, 8) is not None)
+    """True when the fused kernel can handle this (F, T). Long buckets
+    (the src ladder reaches 4000 frames) are excluded: scratch/block
+    VMEM grows ~30 KB per Th=T/2 lane at CH=8, so T beyond ~850 would
+    overflow the ~16 MB VMEM and fail Mosaic compilation — those bucket
+    programs take the composite XLA path instead (models/frontend.py).
+    T=800 (the AiShell README hot bucket) is measured-good on v5e."""
+    if not (T % 2 == 0 and F >= 8):
+        return False
+    CH = _pick_chunk(F // 2, 8)
+    if CH is None:
+        return False
+    return (T // 2) * _vmem_bytes_per_lane(CH) <= 13 * 1024 * 1024
 
 
 def _roll_p1(x, Th):

@@ -268,3 +268,16 @@ def test_block1_golden_from_real_tpu():
     out = compute("float32")["out"]
     want = g["float32_out"]
     assert np.abs(out - want).max() / np.abs(want).max() < 1e-2
+
+
+def test_supported_excludes_vmem_overflow_lengths():
+    """Block1 VMEM demand scales ~30 KB per Th lane (CH=8): the
+    1600/2400/4000-frame buckets of the default src ladder must fall
+    back to the composite path, while the measured-good 800-frame
+    AiShell hot bucket stays fused."""
+    from end2end_asr_tpu.ops.vgg_fused import supported
+
+    for T in (200, 400, 800):
+        assert supported(161, T) and supported(81, T)
+    for T in (1600, 2400, 4000):
+        assert not supported(161, T) and not supported(81, T)
