@@ -60,9 +60,17 @@ def evaluate(params, model_state, cfg: Config, test_loader,
 
     if mesh is not None:
         from end2end_asr_tpu.parallel.mesh import batch_sharded, replicated
+        from end2end_asr_tpu.parallel.tp import (mesh_model_size,
+                                                 shard_params)
         rep = replicated(mesh)
-        params = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, rep), params)
+        if mesh_model_size(mesh) > 1:
+            # tensor-parallel inference (parallel/tp.py): column/row
+            # shardings on the model axis; batch_sharded specs below
+            # replicate over it (P('data', ...))
+            params = shard_params(mesh, params)
+        else:
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), params)
         if model_state:
             model_state = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, rep), model_state)

@@ -60,7 +60,15 @@ def main(argv=None):
     if cli.parallel:
         from end2end_asr_tpu.parallel.mesh import (check_divisible,
                                                    make_mesh)
-        mesh = make_mesh(cli.mesh_data)
+        if cli.mesh_model > 1:
+            # tensor-parallel inference: attention/FFN weights shard on
+            # the model axis (evaluation.py places them via parallel/tp)
+            from end2end_asr_tpu.parallel.tp import (check_tp_divisibility,
+                                                     make_mesh_2d)
+            check_tp_divisibility(cfg, cli.mesh_model)
+            mesh = make_mesh_2d(cli.mesh_model, cli.mesh_data)
+        else:
+            mesh = make_mesh(cli.mesh_data)
         check_divisible(cfg.batch_size, mesh)
 
     results = evaluate(params, model_state, cfg, test_loader, id2label,

@@ -224,3 +224,33 @@ def test_checkpoint_roundtrip_under_tp(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(opt),
                     jax.tree_util.tree_leaves(o2)):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_evaluate_tp_matches_single_device(tmp_path):
+    """End-to-end evaluate() (test.py path) under a data x model mesh:
+    TP-sharded weights must reproduce the single-device CER/WER exactly
+    (test.py --parallel --mesh-model N)."""
+    from end2end_asr_tpu.config import load_vocab
+    from end2end_asr_tpu.data.dataset import ManifestDataset
+    from end2end_asr_tpu.data.loader import AudioBatchLoader
+    from end2end_asr_tpu.evaluation import evaluate
+    from tests.synth import make_corpus
+
+    texts = ["ab", "ba", "abba", "baab", "aabb", "bbaa", "abab", "baba"]
+    manifest, labels = make_corpus(str(tmp_path / "c"), texts=texts,
+                                   exact_samples=63 * 160)
+    cfg = CFG.replace(batch_size=8, tgt_max_len=8)
+    label2id, id2label = load_vocab(labels)
+
+    params, state = jax.jit(functools.partial(
+        init_transformer, cfg=cfg, num_vocab=len(label2id)))(
+            jax.random.PRNGKey(0))
+
+    def loader():
+        return AudioBatchLoader(ManifestDataset([manifest], label2id),
+                                cfg)
+
+    r_single = evaluate(params, state, cfg, loader(), id2label)
+    r_tp = evaluate(params, state, cfg, loader(), id2label,
+                    mesh=make_mesh_2d(2))
+    assert r_single == r_tp
