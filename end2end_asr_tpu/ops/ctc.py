@@ -90,7 +90,16 @@ def ctc_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
     (alpha, final), _ = jax.lax.scan(
         step, (alpha0, init_final), jnp.arange(1, T))
 
+    # Infeasible rows (input_length < CTC path length, or input_length
+    # 0): the recursion bottoms out at the NEG_INF sentinel, i.e. nll
+    # ~1e30 — large but FINITE, so the trainer's isfinite batch-skip
+    # would NOT engage. torch F.ctc_loss (no zero_infinity) returns
+    # literal +inf there and the reference skips the batch
+    # (trainer/asr/trainer.py:87-90); promote the sentinel to a true
+    # inf so the skip semantics match. The where() also zeroes these
+    # rows' cotangent path (no sentinel-polluted gradients).
     nll = -final  # (B,)
+    nll = jnp.where(final <= NEG_INF / 2, jnp.inf, nll)
     if reduction == "mean":
         # torch 'mean': divide each by target_length (clamped to 1), average
         return jnp.mean(nll / jnp.maximum(target_lengths, 1))

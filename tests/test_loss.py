@@ -170,7 +170,8 @@ def test_ctc_infeasible_rows_match_torch_inf():
                       torch.tensor(in_lens.astype(np.int64)),
                       torch.tensor(tgt_lengths.astype(np.int64)),
                       reduction="none").numpy()
-    # feasible rows agree exactly; the infeasible row is +inf in torch
-    # and >= 1e29 here (NEG_INF sentinel) — both trip the Inf-skip
+    # feasible rows agree exactly; the infeasible row is +inf in BOTH
+    # (the sentinel is promoted to a literal inf so the trainer's
+    # isfinite batch-skip engages exactly like the reference's)
     np.testing.assert_allclose(ours[[0, 2]], ref[[0, 2]], rtol=1e-5)
-    assert np.isinf(ref[1]) and ours[1] > 1e29
+    assert np.isinf(ref[1]) and np.isinf(ours[1])

@@ -160,3 +160,38 @@ def test_trainer_dispatch_and_accum_under_mesh(tmp_path):
         start_epoch=0, num_epochs=1, prefetch=True)
     assert np.isfinite(m["train_loss"])
     assert np.isfinite(m["valid_loss"])
+
+
+def test_multi_step_inf_skip_inside_group():
+    """A CTC-infeasible batch INSIDE a K-group must be skipped (params/
+    opt untouched for that sub-step) exactly like the sequential path —
+    the reference's 'Found infinity loss, masking' continue
+    (trainer/asr/trainer.py:87-90) applied per scanned step."""
+    cfg = CFG.replace(loss="ctc", label_smoothing=0.0)
+    dims = dims_from_config(cfg)
+    good = _batches(1, seed=1)[0]
+    sp, nf, tg, tl = _batches(1, seed=2)[0]
+    bad = (sp, np.full_like(nf, 4), tg, tl)  # in_len 0-1 < tgt len: inf
+    rngs = [jax.random.PRNGKey(5), jax.random.PRNGKey(6)]
+
+    params, state = _init(cfg)
+    step = make_train_step(cfg, dims, from_pcm=False)
+    p, o, s = params, init_adam_state(params), state
+    fins = []
+    for (a, b, c, d), r in zip((good, bad), rngs):
+        p, o, s, m, _, _ = step(p, o, s, r, a, b, c, d, spect_T=64)
+        fins.append(bool(m["finite"]))
+    assert fins == [True, False]
+
+    params2, state2 = _init(cfg)
+    multi = make_multi_train_step(cfg, dims, from_pcm=False)
+    stack = lambda c: jnp.stack([good[c], bad[c]])
+    pK, oK, sK, ms, _, _ = multi(
+        params2, init_adam_state(params2), state2, jnp.stack(rngs),
+        stack(0), stack(1), stack(2), stack(3), spect_T=64)
+    assert [bool(x) for x in np.asarray(ms["finite"])] == [True, False]
+    assert int(np.asarray(oK["step"])) == int(np.asarray(o["step"])) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(p),
+                    jax.tree_util.tree_leaves(pK)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
