@@ -70,6 +70,12 @@ def make_mesh_2d(n_model: int, n_data: int = 0, devices=None) -> Mesh:
             raise ValueError(
                 f"--mesh-model {n_model} exceeds the {len(devices)} "
                 f"visible devices")
+        if n_data * n_model != len(devices):
+            raise ValueError(
+                f"--mesh-model {n_model} does not divide the "
+                f"{len(devices)} visible devices — pass --mesh-data to "
+                f"use a subset explicitly instead of silently dropping "
+                f"chips")
         devices = devices[: n_data * n_model]
     arr = np.array(devices).reshape(n_data, n_model)
     return Mesh(arr, ("data", "model"))
@@ -132,15 +138,16 @@ def shard_params(mesh: Mesh, params):
 
 
 def shard_opt_state(mesh: Mesh, opt_state, params):
-    """Adam/SGD state: mu/nu mirror the param tree and take its specs;
-    scalars (step, lr) replicate."""
+    """Adam/SGD state: mu/nu (Adam moments) and buf (SGD momentum)
+    mirror the param tree and take its specs; scalars (step, lr)
+    replicate."""
     n_model = mesh_model_size(mesh)
     specs = param_pspecs(params, n_model)
     rep = NamedSharding(mesh, P())
 
     out = {}
     for key, val in opt_state.items():
-        if key in ("mu", "nu"):
+        if key in ("mu", "nu", "buf"):
             out[key] = jax.tree_util.tree_map(
                 lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
                 val, specs)

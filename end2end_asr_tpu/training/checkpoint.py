@@ -102,7 +102,9 @@ def save_checkpoint(base_path: str, cfg: Config, epoch: int,
                     label2id: Dict[str, int], id2label: Dict[int, str],
                     metrics: Optional[Dict] = None,
                     fmt: str = "npz") -> None:
-    os.makedirs(os.path.dirname(base_path), exist_ok=True)
+    d = os.path.dirname(base_path)
+    if d:  # bare filenames in the cwd have no directory to create
+        os.makedirs(d, exist_ok=True)
     if fmt == "orbax":
         _save_orbax(base_path, params, opt_state, model_state)
         _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)

@@ -161,6 +161,14 @@ class Trainer:
 
         train_step = None  # built lazily on first batch (pcm vs spect)
         eval_step = None
+        # --steps-per-dispatch state lives at train() scope like
+        # train_step: the jitted multi-step program (and the from_pcm
+        # flag it was built with) must survive across epochs, or every
+        # epoch would retrace + remote-recompile the K-step grad program
+        steps_k = max(1, getattr(cfg, "steps_per_dispatch", 1))
+        multi_step = None
+        fp_flag = False
+        group: List = []   # entries buffered for one dispatch
 
         metrics: Dict = {}
         for epoch in range(start_epoch, num_epochs):
@@ -190,6 +198,10 @@ class Trainer:
                          else ms)
                     hyp_seq = hyps[j] if stacked else hyps
                     gold_seq = golds[j] if stacked else golds
+                    # the step returns the current schedule rate even for
+                    # skipped batches (skip_lr) — refresh before the
+                    # finite check so logs never show a stale LR
+                    lr = float(m["lr"])
                     if not bool(m["finite"]):
                         # skip the batch entirely before any accumulation,
                         # matching the reference's `continue`
@@ -197,7 +209,6 @@ class Trainer:
                         logger.info("Found infinity loss, masking")
                         continue
                     totals["loss"] += float(m["loss"])
-                    lr = float(m["lr"])
                     totals["batches"] += 1
                     meter.stop(n_utts, secs)
                     meter.start()
@@ -231,11 +242,6 @@ class Trainer:
             # 1/K the dispatch + metrics-pull overhead. Partial groups
             # (bucket change, epoch end) fall back to the single-step
             # program.
-            steps_k = max(1, getattr(cfg, "steps_per_dispatch", 1))
-            multi_step = None
-            group: List = []   # entries buffered for one dispatch
-            fp_flag = False
-
             def run_single(entry):
                 nonlocal params, opt_state, model_state
                 idx, sub, arr, nf, tg, tl, bucket, n_utts, secs = entry

@@ -91,8 +91,11 @@ def test_multi_step_matches_sequential():
 
 
 def test_trainer_steps_per_dispatch_exact(tmp_path):
-    """A full trainer epoch with --steps-per-dispatch 3 (4 batches →
-    one group of 3 + one partial single) matches the K=1 run."""
+    """TWO full trainer epochs with --steps-per-dispatch 3 (4 batches →
+    one group of 3 + one partial single per epoch) match the K=1 run.
+    Two epochs matter: the multi-step program and its from_pcm flag must
+    persist across epochs (a round-3 review caught both being rebuilt —
+    and the flag silently reset — per epoch)."""
     texts = ["ab", "ba", "abba", "baab", "aabb", "bbaa", "abab", "baba"]
     manifest, labels = make_corpus(str(tmp_path / "c"), texts=texts,
                                    exact_samples=63 * 160)
@@ -100,7 +103,7 @@ def test_trainer_steps_per_dispatch_exact(tmp_path):
         feat_extractor="", num_layers=1, num_heads=2, dim_model=32,
         dim_key=16, dim_value=16, dim_inner=64, dim_emb=32, batch_size=2,
         dropout=0.1, src_max_len=64, tgt_max_len=8, src_buckets=(64,),
-        tgt_buckets=(8,), dtype="float32", epochs=1, save_every=100,
+        tgt_buckets=(8,), dtype="float32", epochs=2, save_every=100,
         save_folder=str(tmp_path), name="md")
     label2id, id2label = load_vocab(labels)
 
@@ -116,7 +119,7 @@ def test_trainer_steps_per_dispatch_exact(tmp_path):
         trainer = Trainer(cfg, label2id, id2label)
         results.append(trainer.train(
             params, init_adam_state(params), state, train_loader,
-            [valid_loader], start_epoch=0, num_epochs=1, prefetch=True))
+            [valid_loader], start_epoch=0, num_epochs=2, prefetch=True))
 
     (p1, _, _, m1), (pK, _, _, mK) = results
     np.testing.assert_allclose(m1["train_loss"], mK["train_loss"],

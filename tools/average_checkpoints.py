@@ -28,21 +28,30 @@ import numpy as np
 
 
 def average_trees(trees):
+    """Uniform average over an iterable of pytrees. Streams: only the
+    float64 running sums plus ONE tree's leaves are resident at a time
+    (a flagship checkpoint is ~300 MB — K of them at once would swamp
+    this small host)."""
     import jax
-    flat = [jax.tree_util.tree_flatten(t) for t in trees]
-    treedef = flat[0][1]
-    for _, td in flat[1:]:
+    it = iter(trees)
+    first = next(it)
+    leaves, treedef = jax.tree_util.tree_flatten(first)
+    dtypes = [np.asarray(l).dtype for l in leaves]
+    sums = [np.asarray(l, np.float64) for l in leaves]
+    n = 1
+    for tree in it:
+        more, td = jax.tree_util.tree_flatten(tree)
         if td != treedef:
             raise ValueError(
                 "checkpoints have different parameter structures "
                 f"({td} vs {treedef}) — are they from the same run?")
-    n = float(len(trees))
-    leaves = [
-        np.sum([np.asarray(f[0][i], np.float64) for f in flat], axis=0)
-        / n for i in range(len(flat[0][0]))]
+        for i, l in enumerate(more):
+            sums[i] += np.asarray(l, np.float64)
+        n += 1
+    if n < 2:
+        raise ValueError("need at least 2 checkpoints")
     return jax.tree_util.tree_unflatten(
-        treedef, [l.astype(np.asarray(orig).dtype)
-                  for l, orig in zip(leaves, flat[0][0])])
+        treedef, [(s / n).astype(dt) for s, dt in zip(sums, dtypes)])
 
 
 def main():
@@ -60,17 +69,26 @@ def main():
     from end2end_asr_tpu.training.checkpoint import (load_checkpoint,
                                                      save_checkpoint)
 
-    loaded = [load_checkpoint(p) for p in args.checkpoints]
-    cfg, epoch, _, _, _, label2id, id2label, metrics = loaded[-1]
-    params = average_trees([l[2] for l in loaded])
-    states = [l[4] for l in loaded]
-    model_state = average_trees(states) if all(states) else states[-1]
+    meta = {}
 
-    save_checkpoint(args.out, cfg, epoch, params, None, model_state,
-                    label2id, id2label,
-                    {**(metrics or {}),
+    def stream():
+        # one checkpoint resident at a time; metadata kept from the
+        # LAST one (matching the docstring contract)
+        for p in args.checkpoints:
+            cfg, epoch, params, _, st, label2id, id2label, m = \
+                load_checkpoint(p)
+            meta.update(cfg=cfg, epoch=epoch, label2id=label2id,
+                        id2label=id2label, metrics=m)
+            yield {"params": params, "state": st or {}}
+
+    avg = average_trees(stream())
+    save_checkpoint(args.out, meta["cfg"], meta["epoch"], avg["params"],
+                    None, avg["state"], meta["label2id"],
+                    meta["id2label"],
+                    {**(meta["metrics"] or {}),
                      "averaged_from": list(args.checkpoints)})
-    print(f"averaged {len(loaded)} checkpoints -> {args.out}.npz")
+    print(f"averaged {len(args.checkpoints)} checkpoints -> "
+          f"{args.out}.npz")
 
 
 if __name__ == "__main__":

@@ -103,8 +103,12 @@ def main():
     trainer_mod.ckpt.save_checkpoint = lambda *a, **k: None
     trainer = Trainer(cfg, {}, id2label, metrics_every=10**9)
 
-    # warmup epoch: compiles both the single- and multi-step programs
-    warm = PrebuiltLoader(batches[: max(4, 2 * args.steps_per_dispatch)])
+    # warmup epoch: compile BOTH programs the timed run will use — two
+    # full K-groups plus one extra batch so the partial-group fallback's
+    # single-step program also compiles outside the timed window
+    n_warm = (max(4, 2 * args.steps_per_dispatch + 1)
+              if args.steps_per_dispatch > 1 else 4)
+    warm = PrebuiltLoader(batches[:n_warm])
     params, opt, state, _ = trainer.train(
         params, opt, state, warm, [], start_epoch=0, num_epochs=1,
         prefetch=True)
