@@ -29,7 +29,7 @@ def _strip(s: str) -> str:
 
 
 def evaluate(params, model_state, cfg: Config, test_loader,
-             id2label: Dict[int, str], lm=None, label2id=None,
+             id2label: Dict[int, str], lm=None,
              verbose: bool = False, mesh=None) -> Dict[str, float]:
     """Batch evaluation; under a mesh the encode/decode programs run SPMD
     with the batch sharded on the data axis (params replicated)."""
@@ -90,7 +90,9 @@ def evaluate(params, model_state, cfg: Config, test_loader,
             n_frames = jax.device_put(n_frames, batch_sharded(mesh, 1))
         enc_out, enc_lens = encode_fn(params, model_state, arr, n_frames,
                                       spect_T=batch.src_bucket)
-        golds = [_strip(ids_to_string_until_pad(row, id2label))
+        # raw strings here; the scoring loop below owns the special-char
+        # stripping for hyp and gold alike
+        golds = [ids_to_string_until_pad(row, id2label)
                  for row in np.asarray(batch.targets)]
 
         if beam is not None:

@@ -98,6 +98,14 @@ def layer_norm(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def dropout_thresh16(rate: float) -> int:
+    """uint16 keep threshold: round((1-rate)·2^16). The single source of
+    truth — the fused attention kernel (ops/attention_fused.py) compares
+    its random bits against the SAME value so the XLA and kernel dropout
+    paths keep bit-identical fractions."""
+    return int(round((1.0 - rate) * 65536.0))
+
+
 def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     """Inverted dropout with a uint16 integer-compare mask.
 
@@ -111,9 +119,13 @@ def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarra
     """
     if deterministic or rate <= 0.0:
         return x
-    thresh = int(round((1.0 - rate) * 65536.0))
+    thresh = dropout_thresh16(rate)
     if thresh >= 65536:
         return x
+    if thresh <= 0:
+        # rate ≈ 1: keep probability rounds to zero — drop everything
+        # (torch dropout(p=1) semantics) instead of dividing by zero
+        return jnp.zeros_like(x)
     bits = jax.random.bits(key, x.shape, jnp.uint16)
     scale = jnp.asarray(65536.0 / thresh, x.dtype)
     return jnp.where(bits < thresh, x * scale, jnp.zeros_like(x))
@@ -237,7 +249,10 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
     scale = 1.0 / math.sqrt(dim_key)  # temperature = sqrt(dim_key)
     training = not deterministic and dropout_rate > 0.0
 
-    if training and _use_flash_attn(mask, num_heads, Tq, Tk):
+    # thresh 0 (rate ≈ 1) would divide by zero in the kernel's scale;
+    # the XLA path above handles it (dropout returns zeros)
+    if (training and dropout_thresh16(dropout_rate) > 0
+            and _use_flash_attn(mask, num_heads, Tq, Tk)):
         from end2end_asr_tpu.ops import attention_fused as AF
         rng, sub = jax.random.split(rng)
         bias = jnp.where(mask, jnp.float32(-1e9), jnp.float32(0.0))

@@ -51,9 +51,9 @@ from end2end_asr_tpu.ops.partition import batch_partitioned
 __all__ = ["flash_mha_train", "dropout_thresh16"]
 
 
-def dropout_thresh16(rate: float) -> int:
-    """uint16 keep threshold, identical to models/layers.py dropout."""
-    return int(round((1.0 - rate) * 65536.0))
+# single source of truth for the keep threshold — the XLA-path dropout
+# (models/layers.py) and this kernel must keep bit-identical fractions
+from end2end_asr_tpu.models.layers import dropout_thresh16  # noqa: F401
 
 
 def _kernels(H, Tq, Tk, Dk, Dv, thresh16, cdt):

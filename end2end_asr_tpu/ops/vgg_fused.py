@@ -160,8 +160,14 @@ def _build_x1(spe, spo, xie, xio, w1_ref, b1_ref, CH, G0, F, Th, cdt):
                       preferred_element_type=jnp.float32)
         x1o = jnp.dot(w1_ref[:], spo[8 * r:8 * r + 24, :],
                       preferred_element_type=jnp.float32)
-        # round exactly like the unfused path: bf16 conv output, then
-        # relu (relu and the cast commute)
+        # KNOWN 1-ulp divergence from the composite path: this adds the
+        # bias in f32 on the unrounded conv output, where frontend._conv
+        # computes bf16(conv) + bf16(bias) in bf16. When the two
+        # roundings straddle a bf16 boundary, x1 differs by 1 ulp and a
+        # pool-argmax tie can route the gradient differently. Within the
+        # parity tests' bf16 tolerance; fixing it changes kernel
+        # numerics, which invalidates the saved real-TPU golden — redo
+        # capture_vgg_golden on hardware if this line is ever aligned.
         x1e = jnp.where(valid, jax.nn.relu(x1e + b1), 0.0).astype(cdt)
         x1o = jnp.where(valid, jax.nn.relu(x1o + b1), 0.0).astype(cdt)
         x1e32, x1o32 = x1e.astype(jnp.float32), x1o.astype(jnp.float32)
@@ -206,7 +212,7 @@ def _fwd_kernel(se_m, se_0, se_p, se_t, so_m, so_0, so_p, so_t,
 
 
 def _bwd_kernel(se_m, se_0, se_p, se_t, so_m, so_0, so_p, so_t,
-                w1_ref, b1_ref, w2_ref, w2t_ref, g_ref, out_in_ref,
+                w1_ref, b1_ref, w2t_ref, g_ref, out_in_ref,
                 idx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
                 spe, spo, xie, xio, dxe, dxo, *, CH, F, nc, Th, cdt):
     b = pl.program_id(0)
@@ -362,8 +368,11 @@ def _bwd_pallas(se, so, w1p, b1c, w2p, b2c, out, idx, g,
     dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_bwd_kernel, CH=CH, F=F, nc=nc, Th=Th, cdt=cdt),
         grid=(B, nc),
+        # w2 itself is NOT an operand — the kernel only reads w2.T
+        # (dA via w2t_ref) and computes dw2 from dy @ A, so shipping the
+        # 72 KB w2 block would waste VMEM in the budget-gated backward
         in_specs=(spect_specs + spect_specs
-                  + [w_specs[0], w_specs[1], w_specs[2], w2t_spec]
+                  + [w_specs[0], w_specs[1], w2t_spec]
                   + [big_spec, big_spec, big_spec]),
         out_specs=[acc(24), acc(1), acc(9 * C), acc(1)],
         out_shape=[jax.ShapeDtypeStruct((C, 24), jnp.float32),
@@ -372,7 +381,7 @@ def _bwd_pallas(se, so, w1p, b1c, w2p, b2c, out, idx, g,
                    jax.ShapeDtypeStruct((C, 1), jnp.float32)],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(se, se, se, se, so, so, so, so, w1p, b1c, w2p, w2p.T, g, out, idx)
+    )(se, se, se, se, so, so, so, so, w1p, b1c, w2p.T, g, out, idx)
     return dw1, db1, dw2, db2
 
 
@@ -562,6 +571,12 @@ CI2, C2 = 64, 128
 # 19.1 block1-only. Until the backward has a fundamentally leaner
 # schedule (two-pass with dy3 through HBM is the next candidate), the
 # frontend keeps XLA's composite for block2.
+# ALSO before re-enabling: the backward accumulates dx2/dxi in bf16
+# scratch with ~12 sequential rounded `+=` per row (each partial sum
+# re-rounds to 8 mantissa bits; contributions ~256x below the running
+# sum vanish) — materially lossier than the composite's single
+# post-accumulation rounding. Switch those scratch refs to f32 (VMEM
+# budget permitting) as part of any re-enable.
 BLOCK2_ENABLED = False
 
 
