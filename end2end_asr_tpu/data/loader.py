@@ -102,6 +102,10 @@ class AudioBatchLoader:
         # (assembled by parallel.mesh.put_sharded)
         self.process_index = process_index
         self.process_count = max(1, process_count)
+        # per-index (frame_bound, u_len) memo for _global_buckets:
+        # manifests are immutable, so the header/transcript reads happen
+        # once per index instead of once per batch per epoch
+        self._bounds_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.sampler)
@@ -141,14 +145,21 @@ class AudioBatchLoader:
         from end2end_asr_tpu.data.audio import get_num_samples
         max_frames, max_u = 1, 1
         for i in bin_ids:
-            for entries in self.dataset.ids_list:
-                wav, txt = entries[i % len(entries)]
-                n = get_num_samples(wav)
-                if self.dataset.augment:
-                    n = int(n / 0.85) + 1
-                max_frames = max(max_frames,
-                                 num_frames(n, cfg.n_fft, cfg.hop_length))
-                max_u = max(max_u, len(self.dataset.parse_transcript(txt)))
+            bounds = self._bounds_cache.get(i)
+            if bounds is None:
+                f_i, u_i = 1, 1
+                for entries in self.dataset.ids_list:
+                    wav, txt = entries[i % len(entries)]
+                    n = get_num_samples(wav)
+                    if self.dataset.augment:
+                        n = int(n / 0.85) + 1
+                    f_i = max(f_i, num_frames(n, cfg.n_fft,
+                                              cfg.hop_length))
+                    u_i = max(u_i,
+                              len(self.dataset.parse_transcript(txt)))
+                bounds = self._bounds_cache[i] = (f_i, u_i)
+            max_frames = max(max_frames, bounds[0])
+            max_u = max(max_u, bounds[1])
         T_b = min(pick_bucket(min(max_frames, cfg.src_max_len),
                               cfg.src_buckets), cfg.src_max_len)
         U_b = min(pick_bucket(max_u, cfg.tgt_buckets), cfg.tgt_max_len)

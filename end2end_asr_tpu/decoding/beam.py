@@ -103,10 +103,18 @@ def beam_search_device(params: Dict, enc_out: jnp.ndarray, dims: ModelDims,
         all_l = jnp.concatenate([pool_l, new_l], axis=1)
         top_s, top_i = jax.lax.top_k(all_s, P)
         sel = jax.nn.one_hot(top_i, P + W, dtype=jnp.float32)  # (B,P,P+W)
+        # precision=HIGHEST is load-bearing: TPU DEFAULT-precision dots
+        # round f32 operands to bf16, which is integer-exact only to
+        # 2^8 — AiShell token ids (~4k vocab) and pool lengths > 255
+        # would come back corrupted. HIGHEST keeps f32-exact ids
+        # (< 2^24) at negligible cost on these tiny contractions.
+        hi = jax.lax.Precision.HIGHEST
         t_sel = jnp.einsum("bpq,bql->bpl", sel,
-                           all_t.astype(jnp.float32)).astype(jnp.int32)
+                           all_t.astype(jnp.float32),
+                           precision=hi).astype(jnp.int32)
         l_sel = jnp.einsum("bpq,bq->bp", sel,
-                           all_l.astype(jnp.float32)).astype(jnp.int32)
+                           all_l.astype(jnp.float32),
+                           precision=hi).astype(jnp.int32)
         return t_sel, top_s, l_sel
 
     def step(carry):
@@ -304,8 +312,14 @@ class BeamDecoder:
                                 max_len=min(cfg.decode_max_len,
                                             cfg.tgt_max_len))
             strs = ids_to_strings(ids, self.id2label)
+            ids = np.asarray(ids)
             for b in need_greedy:
-                results[b] = [Hyp(np.asarray(ids)[b].tolist(), strs[b],
+                # match the beam Hyps' yseq convention: leading SOS,
+                # trimmed to the first EOS inclusive (no trailing pad)
+                row = ids[b].tolist()
+                cut = (row.index(EOS_TOKEN) + 1 if EOS_TOKEN in row
+                       else len(row))
+                results[b] = [Hyp([SOS_TOKEN] + row[:cut], strs[b],
                                   float("-inf"), float("-inf"))]
         return results
 

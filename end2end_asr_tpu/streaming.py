@@ -87,6 +87,8 @@ class StreamingTranscriber:
         if pcm_chunk.size:
             self._pcm.append(pcm_chunk)
             self._n_samples += pcm_chunk.size
+        if self._n_samples == 0:
+            return self._partial  # nothing buffered yet (empty chunks)
         frames = self._frames(self._n_samples)
         if frames - self._decoded_frames < self.min_new_frames:
             return self._partial
@@ -96,6 +98,10 @@ class StreamingTranscriber:
         """Final transcript over all audio received so far."""
         if self._n_samples == 0:
             return ""
+        if self._frames(self._n_samples) == self._decoded_frames:
+            # the last feed() already decoded every frame — the re-run
+            # would recompute exactly the cached partial
+            return self._partial
         return self._decode()
 
     def reset(self):
@@ -106,8 +112,8 @@ class StreamingTranscriber:
 
     def _decode(self) -> str:
         cfg = self.cfg
-        hop = int(cfg.sample_rate * cfg.window_stride)
-        n_fft = int(cfg.sample_rate * cfg.window_size)
+        hop, n_fft = cfg.hop_length, cfg.n_fft  # same derivation as the
+        # batch loader — one owner for the frame geometry
         y = np.concatenate(self._pcm) if len(self._pcm) > 1 else self._pcm[0]
         self._pcm = [y]
         frames = self._frames(y.size)
