@@ -22,6 +22,10 @@ def init_encoder(key, num_layers: int, num_heads: int, dim_model: int,
                  dim_key: int, dim_value: int, dim_input: int,
                  dim_inner: int, src_max_length: int = 2500,
                  rank: int = 0) -> Params:
+    # keys[1] is intentionally unconsumed (the split count mirrors
+    # init_decoder, whose keys[1] seeds output_linear); changing the
+    # split count would shift every layer's init stream and break
+    # seeded-run reproducibility against existing checkpoints
     keys = jax.random.split(key, 2 + num_layers)
     layers_p = []
     for i in range(num_layers):

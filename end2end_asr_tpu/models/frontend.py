@@ -123,6 +123,12 @@ def _conv_pool_relu(p: Params, x: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarra
 # in-step block2 convs already run at ~121 TF/s; the recoverable heat
 # is the ~1 ms of relayout copies at the kernel/conv boundary, not the
 # convs).
+# RE-ENABLE PRECONDITION: the saved backward's unpool reshape assumes
+# even post-block1 dims — with an odd time/freq (e.g. T2=201) the
+# one-hot `sel` covers only the cropped 2*F4 columns while the reshape
+# targets the uncropped shape (trace-time element-count mismatch), and
+# dy4 is not re-padded to y4's full shape for the cropped tail. Fix and
+# add an odd-dim case to test_block2_saved.py before flipping this on.
 BLOCK2_SAVED_VJP = False
 
 

@@ -53,8 +53,13 @@ def init_transformer(key, cfg: Config, num_vocab: int) -> Tuple[Params, Params]:
     k_f, k_e, k_d = jax.random.split(key, 3)
     dim_input = cfg.conv_dim_input()
     fe_params, fe_state = F.init_frontend(k_f, cfg.feat_extractor)
-    # rank > 0 (or --model LRTRFS) = Low-Rank Transformer variant
-    rank = cfg.rank if cfg.model == "LRTRFS" or cfg.rank > 0 else 0
+    # rank > 0 (with --model LRTRFS) = Low-Rank Transformer variant
+    if cfg.model == "LRTRFS" and cfg.rank <= 0:
+        raise ValueError(
+            "--model LRTRFS requires --rank > 0 (the low-rank "
+            "factorization width); without it the build would silently "
+            "be full-rank")
+    rank = cfg.rank if cfg.rank > 0 else 0
     params: Params = {
         "encoder": E.init_encoder(
             k_e, cfg.num_layers, cfg.num_heads, cfg.dim_model, cfg.dim_key,

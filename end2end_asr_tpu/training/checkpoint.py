@@ -116,11 +116,22 @@ def save_checkpoint(base_path: str, cfg: Config, epoch: int,
                    for k, v in flatten_tree(opt_state).items()})
     arrays.update({"state" + SEP + k: v
                    for k, v in flatten_tree(model_state or {}).items()})
+    # np.savez writes ml_dtypes bfloat16 as raw void '|V2', which
+    # np.load returns as un-loadable voids (crashing --auto-resume for
+    # --adam-moments-dtype bfloat16 runs). Store those leaves as uint16
+    # bit patterns and record the keys so load restores the dtype.
+    import ml_dtypes
+    bf16 = np.dtype(ml_dtypes.bfloat16)
+    bf16_keys = sorted(k for k, v in arrays.items() if v.dtype == bf16)
+    for k in bf16_keys:
+        arrays[k] = arrays[k].view(np.uint16)
     np.savez(base_path + ".npz", **arrays)
-    _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)
+    _write_meta(base_path, cfg, epoch, label2id, id2label, metrics,
+                bf16_keys=bf16_keys)
 
 
-def _write_meta(base_path, cfg, epoch, label2id, id2label, metrics):
+def _write_meta(base_path, cfg, epoch, label2id, id2label, metrics,
+                bf16_keys=None):
     meta = {
         "args": cfg.to_dict(),
         "epoch": epoch,
@@ -129,6 +140,8 @@ def _write_meta(base_path, cfg, epoch, label2id, id2label, metrics):
         "metrics": metrics or {},
         "format_version": 1,
     }
+    if bf16_keys:
+        meta["bf16_keys"] = list(bf16_keys)
     with open(base_path + ".json", "w", encoding="utf-8") as f:
         json.dump(meta, f, ensure_ascii=False)
 
@@ -156,7 +169,8 @@ def _load_orbax(base_path: str):
 def load_checkpoint(base_path: str):
     """Returns (cfg, epoch, params, opt_state, model_state, label2id,
     id2label, metrics). Accepts the path with or without extension."""
-    if base_path.endswith(".npz") or base_path.endswith(".json"):
+    if (base_path.endswith(".npz") or base_path.endswith(".json")
+            or base_path.endswith(".orbax")):
         base_path = base_path.rsplit(".", 1)[0]
     with open(base_path + ".json", encoding="utf-8") as f:
         meta = json.load(f)
@@ -164,11 +178,17 @@ def load_checkpoint(base_path: str):
         params, opt_state, model_state = _load_orbax(base_path)
     else:
         data = np.load(base_path + ".npz")
+        bf16_keys = set(meta.get("bf16_keys", ()))
+        if bf16_keys:
+            import ml_dtypes
         groups: Dict[str, Dict[str, np.ndarray]] = {
             "params": {}, "opt": {}, "state": {}}
         for key in data.files:
             g, rest = key.split(SEP, 1)
-            groups[g][rest] = data[key]
+            arr = data[key]
+            if key in bf16_keys:  # stored as uint16 bit patterns
+                arr = arr.view(ml_dtypes.bfloat16)
+            groups[g][rest] = arr
         params = unflatten_tree(groups["params"])
         opt_state = unflatten_tree(groups["opt"]) if groups["opt"] else None
         model_state = (unflatten_tree(groups["state"])

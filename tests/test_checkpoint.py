@@ -93,3 +93,49 @@ def test_orbax_format_roundtrip_and_autodetect(tmp_path):
     assert cfg2.checkpoint_format == "orbax"
 
     assert find_latest_checkpoint(str(tmp_path), "t") == base
+
+
+def test_npz_roundtrip_bf16_moments(tmp_path):
+    """--adam-moments-dtype bfloat16 checkpoints must survive the npz
+    round trip: np.savez writes ml_dtypes.bfloat16 as raw '|V2' voids,
+    so the codec stores uint16 bit patterns + a bf16_keys sidecar."""
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.training.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    opt = {"step": np.int32(3),
+           "mu": {"w": jnp.asarray([[1.5, -2.25, 0.125]] * 2,
+                                   jnp.bfloat16)},
+           "nu": {"w": jnp.asarray([[0.5, 4.0, 1e-3]] * 2,
+                                   jnp.bfloat16)}}
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, Config(), 1, params, opt, {}, {"a": 3},
+                    {3: "a"})
+    _, _, p2, o2, _, _, _, _ = load_checkpoint(base)
+    assert o2["mu"]["w"].dtype == np.dtype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(opt["mu"]["w"]).view(np.uint16),
+        o2["mu"]["w"].view(np.uint16))
+    np.testing.assert_array_equal(
+        np.asarray(opt["nu"]["w"]).view(np.uint16),
+        o2["nu"]["w"].view(np.uint16))
+    np.testing.assert_array_equal(p2["w"], params["w"])
+
+
+def test_load_accepts_orbax_suffix(tmp_path):
+    """--continue-from may name the on-disk .orbax artifact directly."""
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.training.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, Config(), 2, params, None, {}, {"a": 3},
+                    {3: "a"}, fmt="orbax")
+    _, epoch, p2, _, _, _, _, _ = load_checkpoint(base + ".orbax")
+    assert epoch == 2
+    np.testing.assert_array_equal(np.asarray(p2["w"]), params["w"])

@@ -62,3 +62,21 @@ def test_lowrank_train_and_decode():
         p2, s2, jnp.asarray(spect), jnp.array([64, 50]))
     ids = greedy_decode(p2, enc_out, dims, max_len=8)
     assert ids.shape == (2, 8)
+
+
+def test_lrtrfs_without_rank_fails_fast():
+    """--model LRTRFS with the default rank=0 must raise, not silently
+    build a full-rank model labeled LRTRFS."""
+    import functools
+
+    import jax
+    import pytest
+
+    from end2end_asr_tpu.config import Config
+    from end2end_asr_tpu.models.transformer import init_transformer
+
+    cfg = Config(model="LRTRFS", rank=0, num_layers=1, num_heads=2,
+                 dim_model=32, dim_key=16, dim_value=16, dim_inner=64,
+                 dim_emb=32, feat_extractor="")
+    with pytest.raises(ValueError, match="LRTRFS"):
+        init_transformer(jax.random.PRNGKey(0), cfg=cfg, num_vocab=8)
