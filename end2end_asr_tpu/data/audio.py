@@ -64,7 +64,12 @@ def decode_audio(path: str) -> Tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == b"RIFF":
-        y = load_audio(path)
+        if _native.available():
+            got = _native.decode_wav_sr(path)
+            if got is not None:
+                return got  # rate from the native header read — the
+                # `wave` module rejects IEEE-float WAVs we decode fine
+        y = _load_audio_py(path)
         with wave.open(path, "rb") as w:
             return y, w.getframerate()
     if magic == b".snd":
@@ -161,6 +166,10 @@ def get_num_samples(path: str) -> int:
     """Exact PCM frame count from the WAV header (no decode). Used by the
     multi-host loader to agree on bucket shapes across processes without
     decoding remote shards."""
+    if _native.available():
+        n = _native.wav_num_frames(path)
+        if n is not None:  # handles IEEE-float/extensible WAVs `wave`
+            return n       # rejects
     with wave.open(path, "rb") as w:
         return w.getnframes()
 
@@ -298,5 +307,9 @@ def load_randomly_augmented_audio(path: str, sample_rate: int = 16000,
     rng = rng or np.random
     tempo = rng.uniform(*tempo_range)
     gain = rng.uniform(*gain_range)
-    y = load_audio(path)
+    # the reference's augment pipes through `sox -r {sample_rate}`
+    # (utils/audio.py:39-44): mismatched-rate corpora get resampled on
+    # the augment path (the plain load path does NOT — parity)
+    y, sr = decode_audio(path)
+    y = resample(y, sr, sample_rate)
     return augment_audio(y, sample_rate, tempo, gain)

@@ -41,8 +41,17 @@ def lstm_forward(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
 
         init = (jnp.zeros(H), jnp.zeros(H))
         _, x = jax.lax.scan(cell, init, x)
-    logits = x @ params["decoder_w"].T + params["decoder_b"]
+    logits = x @ _decoder_w(params).T + params["decoder_b"]
     return logits
+
+
+def _decoder_w(params: Dict) -> jnp.ndarray:
+    """Tied models carry NO separate decoder_w leaf — the decoder IS the
+    embedding, so training gradients sum both uses into one parameter
+    (torch tie_weights semantics); a copied leaf would untie after one
+    Adam step."""
+    w = params.get("decoder_w")
+    return params["embedding"] if w is None else w
 
 
 def init_lstm_params(key, ntoken: int, ninp: int, nhid: int,
@@ -54,7 +63,13 @@ def init_lstm_params(key, ntoken: int, ninp: int, nhid: int,
     keys = jax.random.split(key, 3 + 4 * nlayers)
     emb = jax.random.uniform(keys[0], (ntoken, ninp), jnp.float32,
                              -0.1, 0.1)
-    dec_w = (emb if tie_weights else
+    if tie_weights and ninp != nhid:
+        raise ValueError(
+            f"--tie-weights requires ninp == nhid (got {ninp} vs "
+            f"{nhid}), same as torch RNNModel")
+    # tied: no decoder_w leaf at all (see _decoder_w) — otherwise the
+    # optimizer would update two copies independently
+    dec_w = (None if tie_weights else
              jax.random.uniform(keys[1], (ntoken, nhid), jnp.float32,
                                 -0.1, 0.1))
     layers = []
@@ -99,18 +114,24 @@ def lstm_forward_batch(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
 
         init = (jnp.zeros((B, H)), jnp.zeros((B, H)))
         _, x = jax.lax.scan(cell, init, x)
-    logits = x @ params["decoder_w"].T + params["decoder_b"]
+    logits = x @ _decoder_w(params).T + params["decoder_b"]
     return jnp.transpose(logits, (1, 0, 2))  # (B, T, V)
 
 
 @jax.jit
-def _sequence_nll(params: Dict, tokens: jnp.ndarray) -> jnp.ndarray:
-    """Summed next-token cross-entropy: predicts tokens[1:] from
-    tokens[:-1] (lstm_utils.py:105-127 semantics)."""
+def _sequence_nll(params: Dict, tokens: jnp.ndarray,
+                  n_valid: jnp.ndarray) -> jnp.ndarray:
+    """Summed next-token cross-entropy over the first `n_valid` tokens
+    of a zero-padded vector: predicts tokens[1:] from tokens[:-1]
+    (lstm_utils.py:105-127 semantics). Padding to power-of-two buckets
+    (evaluate below) caps the distinct compiled lengths — rescoring a
+    test set of 2..40-word hypotheses costs ~5 compiles instead of one
+    per length (remote compiles are 20-60 s on this image)."""
     logits = lstm_forward(params, tokens[:-1])
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, tokens[1:][:, None], axis=-1)[:, 0]
-    return -jnp.sum(ll)
+    mask = jnp.arange(ll.shape[0]) < (n_valid - 1)
+    return -jnp.sum(jnp.where(mask, ll, 0.0))
 
 
 class LM:
@@ -138,7 +159,12 @@ class LM:
         ids, oov = self.seq_to_ids(seq)
         if len(ids) < 2:
             return 0.0, oov
-        return float(_sequence_nll(self.params, jnp.asarray(ids))), oov
+        n = len(ids)
+        bucket = max(8, 1 << (n - 1).bit_length())
+        padded = np.zeros(bucket, np.int32)
+        padded[:n] = ids
+        return float(_sequence_nll(self.params, jnp.asarray(padded),
+                                   jnp.int32(n))), oov
 
 
 def _load_npz_lm(path: str):
@@ -148,7 +174,8 @@ def _load_npz_lm(path: str):
     nlayers = meta["nlayers"]
     params = {
         "embedding": jnp.asarray(data["embedding"]),
-        "decoder_w": jnp.asarray(data["decoder_w"]),
+        "decoder_w": (jnp.asarray(data["decoder_w"])
+                      if "decoder_w" in data.files else None),
         "decoder_b": jnp.asarray(data["decoder_b"]),
         "layers": [
             {k: jnp.asarray(data[f"l{i}_{k}"])
@@ -186,11 +213,12 @@ def _load_torch_lm(path: str):
 def save_npz_lm(path: str, params: Dict, word2idx: Dict[str, int]) -> None:
     arrays = {
         "embedding": np.asarray(params["embedding"]),
-        "decoder_w": np.asarray(params["decoder_w"]),
         "decoder_b": np.asarray(params["decoder_b"]),
         "meta": np.array({"word2idx": dict(word2idx),
                           "nlayers": len(params["layers"])}, dtype=object),
     }
+    if params.get("decoder_w") is not None:  # absent = tied (see
+        arrays["decoder_w"] = np.asarray(params["decoder_w"])  # _decoder_w)
     for i, layer in enumerate(params["layers"]):
         for k, v in layer.items():
             arrays[f"l{i}_{k}"] = np.asarray(v)

@@ -85,7 +85,11 @@ class lib:
         return _load() is not None
 
     @staticmethod
-    def decode_wav(path: str) -> Optional[np.ndarray]:
+    def decode_wav_sr(path: str) -> Optional[tuple]:
+        """(samples, sample_rate) or None — the header's rate comes back
+        through wav_decode's out-param, so callers never need to re-open
+        the file with Python's `wave` (which rejects IEEE-float WAVs the
+        native decoder handles)."""
         L = _load()
         if L is None:
             return None
@@ -97,9 +101,22 @@ class lib:
         got = L.wav_decode(path.encode(),
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                            out.size, ctypes.byref(sr))
-        if got < 0:
+        if got < 0 or sr.value <= 0:
             return None
-        return out[:got]
+        return out[:got], int(sr.value)
+
+    @staticmethod
+    def decode_wav(path: str) -> Optional[np.ndarray]:
+        got = lib.decode_wav_sr(path)
+        return None if got is None else got[0]
+
+    @staticmethod
+    def wav_num_frames(path: str) -> Optional[int]:
+        L = _load()
+        if L is None:
+            return None
+        n = L.wav_num_frames(path.encode())
+        return None if n < 0 else int(n)
 
     @staticmethod
     def wav_duration(path: str) -> Optional[float]:

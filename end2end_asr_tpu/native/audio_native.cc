@@ -51,7 +51,22 @@ static bool read_header(FILE* f, WavInfo* info, int32_t* audio_format,
       if (fread(&byte_rate, 4, 1, f) != 1) return false;
       if (fread(&block_align, 2, 1, f) != 1) return false;
       if (fread(&bps, 2, 1, f) != 1) return false;
-      if (sz > 16) fseek(f, sz - 16, SEEK_CUR);
+      if (fmt == 0xFFFE && sz >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first
+        // 2 bytes of the SubFormat GUID (1 = PCM, 3 = IEEE float) —
+        // mapping everything to PCM would decode extensible float32
+        // as int32 garbage.
+        uint16_t cb, valid_bits, sub;
+        uint32_t channel_mask;
+        if (fread(&cb, 2, 1, f) != 1) return false;
+        if (fread(&valid_bits, 2, 1, f) != 1) return false;
+        if (fread(&channel_mask, 4, 1, f) != 1) return false;
+        if (fread(&sub, 2, 1, f) != 1) return false;
+        fmt = sub;
+        if (sz > 26) fseek(f, sz - 26, SEEK_CUR);
+      } else if (sz > 16) {
+        fseek(f, sz - 16, SEEK_CUR);
+      }
       have_fmt = true;
     } else if (memcmp(tag, "data", 4) == 0) {
       *data_offset = ftell(f);
@@ -61,10 +76,15 @@ static bool read_header(FILE* f, WavInfo* info, int32_t* audio_format,
       fseek(f, sz + (sz & 1), SEEK_CUR);
     }
   }
-  if (!have_fmt || !have_data || channels == 0 || bps == 0) return false;
-  // WAVE_FORMAT_EXTENSIBLE (0xFFFE) carries the real format in the
-  // extension; PCM subformats still decode the same way by bit width.
-  if (fmt == 0xFFFE) fmt = (bps == 32) ? 1 : 1;
+  if (!have_fmt || !have_data || channels == 0) return false;
+  // Only whole-byte sample widths we can actually decode; anything
+  // else (4-bit ADPCM, a/mu-law, float64) fails here so the callers'
+  // Python fallback engages instead of SIGFPE (bps/8 == 0) or silent
+  // garbage from the wrong branch of the sample loop.
+  bool supported = (fmt == 1 && (bps == 8 || bps == 16 || bps == 24 ||
+                                 bps == 32)) ||
+                   (fmt == 3 && bps == 32);
+  if (!supported) return false;
   info->sample_rate = (int32_t)rate;
   info->num_channels = (int32_t)channels;
   info->num_frames = *data_size / (channels * (bps / 8));

@@ -75,12 +75,23 @@ def batched_features(pcm_padded: jnp.ndarray, n_valid_frames: jnp.ndarray,
     mag = jnp.sqrt(re * re + im * im)
     spect = jnp.log1p(mag)  # (B, T_out, F)
 
+    return mask_normalize(spect, n_valid_frames, n_freq, T_out,
+                          normalize)
+
+
+def mask_normalize(spect: jnp.ndarray, n_valid_frames: jnp.ndarray,
+                   n_freq: int, T_out: int,
+                   normalize: bool) -> jnp.ndarray:
+    """Shared epilogue for the XLA and Pallas featurizers: zero the pad
+    frames and apply per-utterance mean/std over the valid (F × T_i)
+    region — unbiased std like torch.Tensor.std (data_loader.py:85-89).
+    One owner: this computation is reference-parity-sensitive, so the
+    two feature paths must never drift apart. spect: (B, T_out, F) →
+    returns (B, F, T_out)."""
     t_valid = (jnp.arange(T_out)[None, :] < n_valid_frames[:, None])
     spect = spect * t_valid[:, :, None]
 
     if normalize:
-        # per-utterance mean/std over the valid (F × T_i) region,
-        # unbiased std like torch.Tensor.std (data_loader.py:85-89)
         count = (n_valid_frames * n_freq).astype(jnp.float32)[:, None, None]
         mean = jnp.sum(spect, axis=(1, 2), keepdims=True) / count
         sq = jnp.sum(jnp.square(spect - mean) * t_valid[:, :, None],

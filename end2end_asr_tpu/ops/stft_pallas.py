@@ -130,17 +130,11 @@ def _batched_features_impl(pcm_padded: jnp.ndarray,
 
     spect = out[:, :T_out, :n_freq]  # (B, T, F)
 
-    t_valid = (jnp.arange(T_out)[None, :] < n_valid_frames[:, None])
-    spect = spect * t_valid[:, :, None]
-    if normalize:
-        count = (n_valid_frames * n_freq).astype(jnp.float32)[:, None, None]
-        mean = jnp.sum(spect, axis=(1, 2), keepdims=True) / count
-        sq = jnp.sum(jnp.square(spect - mean) * t_valid[:, :, None],
-                     axis=(1, 2), keepdims=True)
-        std = jnp.sqrt(sq / jnp.maximum(count - 1.0, 1.0))
-        spect = (spect - mean) / jnp.maximum(std, 1e-10)
-        spect = spect * t_valid[:, :, None]
-    return jnp.transpose(spect, (0, 2, 1))
+    # pad-masking + per-utterance normalization shared with the XLA
+    # featurizer — one owner for the parity-sensitive epilogue
+    from end2end_asr_tpu.ops.features import mask_normalize
+    return mask_normalize(spect, n_valid_frames, n_freq, T_out,
+                          normalize)
 
 
 # Under a sharded jit the custom call would otherwise be replicated

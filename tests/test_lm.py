@@ -110,3 +110,59 @@ def test_lm_train_cli_and_rescoring(tmp_path):
     dec = BeamDecoder(cfg, dims_from_config(cfg), id2label, lm=lm)
     hyps = dec.decode(params, enc)
     assert len(hyps) == 2
+
+
+def test_tie_weights_stays_tied_through_training():
+    """--tie-weights must behave like torch RNNModel(tie_weights=True):
+    ONE parameter receives the summed embedding+decoder gradients. A
+    copied decoder_w leaf unties after the first optimizer step."""
+    import jax
+    import jax.numpy as jnp
+
+    from end2end_asr_tpu.models.lm import (_decoder_w, init_lstm_params,
+                                           lstm_forward_batch)
+
+    params = init_lstm_params(jax.random.PRNGKey(0), ntoken=12, ninp=16,
+                              nhid=16, nlayers=1, tie_weights=True)
+    assert params["decoder_w"] is None  # no separate leaf to diverge
+    np.testing.assert_array_equal(np.asarray(_decoder_w(params)),
+                                  np.asarray(params["embedding"]))
+
+    tokens = jnp.asarray([[1, 2, 3, 4, 5]], jnp.int32)
+
+    def nll(p):
+        logits = lstm_forward_batch(p, tokens[:, :-1])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = tokens[:, 1:]
+        return -jnp.sum(jnp.take_along_axis(logp, tgt[:, :, None],
+                                            axis=-1))
+
+    grads = jax.grad(nll)(params)
+    # the embedding grad carries BOTH the input-embedding rows and the
+    # decoder contribution (dense over the vocab via the softmax)
+    g = np.asarray(grads["embedding"])
+    assert np.abs(g).sum() > 0 and np.abs(g[0]).sum() > 0  # decoder part
+    # untied rows (e.g. id 7, unused as input) still get decoder grads
+    assert np.abs(g[7]).sum() > 0
+
+    import pytest
+    with pytest.raises(ValueError, match="tie"):
+        init_lstm_params(jax.random.PRNGKey(0), ntoken=12, ninp=16,
+                         nhid=32, nlayers=1, tie_weights=True)
+
+
+def test_tied_npz_roundtrip(tmp_path):
+    """save_npz_lm/_load_npz_lm preserve tiedness (no decoder_w key)."""
+    import jax
+
+    from end2end_asr_tpu.models.lm import (LM, init_lstm_params,
+                                           save_npz_lm)
+
+    params = init_lstm_params(jax.random.PRNGKey(1), ntoken=8, ninp=8,
+                              nhid=8, nlayers=1, tie_weights=True)
+    p = str(tmp_path / "lm.npz")
+    save_npz_lm(p, params, {"<oov>": 0, "<eos>": 1, "a": 2, "b": 3})
+    lm = LM(p)
+    assert lm.params["decoder_w"] is None
+    ce, oov = lm.evaluate("a b a")
+    assert np.isfinite(ce) and ce > 0 and oov == 0

@@ -114,3 +114,76 @@ def test_noise_injection(tmp_path):
     # mixed at bounded SNR: perturbation energy is a fraction of signal
     ratio = np.linalg.norm(noisy - clean) / np.linalg.norm(clean)
     assert 0.1 < ratio < 1.0, ratio
+
+
+def _write_extensible_float_wav(path, y, sr):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping IEEE-float32 — the
+    standard DAW/ffmpeg output the `wave` module rejects."""
+    import struct
+    data = np.asarray(y, np.float32).tobytes()
+    chunk = struct.pack("<HHIIHHH", 0xFFFE, 1, sr, sr * 4, 4, 32, 22)
+    chunk += struct.pack("<HI", 32, 0)  # valid bits, channel mask
+    chunk += struct.pack("<H", 3)       # SubFormat code: IEEE float
+    chunk += b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(chunk) + 8 + len(data))
+    hdr += b"WAVE" + b"fmt " + struct.pack("<I", len(chunk)) + chunk
+    hdr += b"data" + struct.pack("<I", len(data))
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+
+
+def test_extensible_float_wav_decodes_as_float(tmp_path):
+    """0xFFFE-extensible float32: the SubFormat GUID's code (3) must be
+    honored — mapping it to PCM reinterprets float bits as int32
+    garbage (e.g. 1.0f -> 0.496)."""
+    from end2end_asr_tpu.data.audio import decode_audio
+    from end2end_asr_tpu.native import lib
+
+    if not lib.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    y = np.array([0.0, 0.5, -0.5, 1.0, -1.0, 0.25], np.float32)
+    p = str(tmp_path / "ext.wav")
+    _write_extensible_float_wav(p, y, 16000)
+    got, sr = decode_audio(p)
+    assert sr == 16000
+    np.testing.assert_allclose(got, y, atol=1e-7)
+
+
+def test_adpcm_wav_rejected_not_sigfpe(tmp_path):
+    """4-bit (ADPCM-style) WAVs must FAIL cleanly from the native
+    decoder (bps/8 == 0 used to integer-divide-by-zero -> SIGFPE killing
+    the loader process)."""
+    import struct
+
+    from end2end_asr_tpu.native import lib
+
+    if not lib.available():
+        import pytest
+        pytest.skip("native lib unavailable")
+    chunk = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)  # fmt=ADPCM
+    data = b"\x00" * 512
+    hdr = b"RIFF" + struct.pack("<I", 4 + 8 + len(chunk) + 8 + len(data))
+    hdr += b"WAVE" + b"fmt " + struct.pack("<I", len(chunk)) + chunk
+    hdr += b"data" + struct.pack("<I", len(data))
+    p = str(tmp_path / "adpcm.wav")
+    with open(p, "wb") as f:
+        f.write(hdr + data)
+    assert lib.decode_wav(p) is None        # clean failure, process alive
+    assert lib.wav_num_frames(p) is None
+    assert lib.wav_duration(p) is None
+
+
+def test_augment_resamples_mismatched_rate(tmp_path):
+    """The augment path resamples to the target rate like the
+    reference's `sox -r {sample_rate}` (utils/audio.py:39-44)."""
+    from end2end_asr_tpu.data.audio import (load_randomly_augmented_audio,
+                                            save_wav)
+
+    y8k = np.sin(np.linspace(0, 40 * np.pi, 8000)).astype(np.float32)
+    p = str(tmp_path / "a8k.wav")
+    save_wav(p, y8k, 8000)
+    out = load_randomly_augmented_audio(
+        p, sample_rate=16000, tempo_range=(1.0, 1.0),
+        gain_range=(0.0, 0.0), rng=np.random.RandomState(0))
+    assert abs(len(out) - 16000) <= 32  # ~2x the 8 kHz samples
