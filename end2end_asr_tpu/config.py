@@ -203,6 +203,21 @@ class Config:
     lm_greedy_as_beam: bool = False
 
     # ------------------------------------------------------------------
+    def __post_init__(self):
+        # the ladders MUST cover src/tgt_max_len or long utterances are
+        # silently truncated to the top rung (loader.pick_bucket falls
+        # through to ladder[-1]); auto-extend instead of trusting the
+        # comment above src_buckets. Runs for CLI, library construction
+        # and replace() alike (dataclasses.replace re-runs this).
+        if self.src_buckets and self.src_max_len > self.src_buckets[-1]:
+            object.__setattr__(
+                self, "src_buckets",
+                tuple(self.src_buckets) + (self.src_max_len,))
+        if self.tgt_buckets and self.tgt_max_len > self.tgt_buckets[-1]:
+            object.__setattr__(
+                self, "tgt_buckets",
+                tuple(self.tgt_buckets) + (self.tgt_max_len,))
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)
 
@@ -329,6 +344,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accumulate gradients over K microbatches per "
                         "step (exact full-batch numerics, ~K x less "
                         "activation memory)")
+    p.add_argument("--src-buckets", nargs="+", type=int, default=None,
+                   help="static frame-bucket ladder (ascending); "
+                        "default (200,400,800,1600,2400,4000), "
+                        "auto-extended to cover --src-max-len")
+    p.add_argument("--tgt-buckets", nargs="+", type=int, default=None,
+                   help="static target-length bucket ladder")
     p.add_argument("--steps-per-dispatch", default=1, type=int,
                    help="run K optimizer steps per device dispatch "
                         "(exact numerics; amortizes host/tunnel "
@@ -392,7 +413,43 @@ def config_from_args(argv: Optional[List[str]] = None) -> Config:
         d[k] = tuple(d.get(k) or ())
     if d.get("device_ids") is not None:
         d["device_ids"] = tuple(d["device_ids"])
+    for k in ("src_buckets", "tgt_buckets"):
+        if d.get(k) is None:
+            d.pop(k, None)  # keep the dataclass default ladder
+        else:
+            d[k] = tuple(d[k])
     return Config.from_dict(d)
+
+
+# Fields that define the parameter shapes / feature geometry of a saved
+# model: on --continue-from these always come from the CHECKPOINT (the
+# reference rebuilds the model from ckpt args, functions.py:72-78);
+# explicitly-passed CLI values for anything else override the checkpoint
+# (a resume like `--continue-from ep5 --grad-accum 4` must be honored).
+ARCH_FIELDS = frozenset({
+    "num_layers", "num_heads", "dim_model", "dim_key", "dim_value",
+    "dim_inner", "dim_emb", "dim_input", "feat_extractor", "model",
+    "rank", "emb_trg_sharing", "sample_rate", "window_size",
+    "window_stride", "window", "src_max_len", "tgt_max_len",
+    "src_buckets", "tgt_buckets", "labels_path",
+})
+
+
+def explicit_cli_overrides(argv: Optional[List[str]] = None) -> Dict:
+    """The subset of config fields the user EXPLICITLY passed on this
+    command line (defaults suppressed). Drives the resume semantics:
+    checkpoint args win unless a flag was actually typed."""
+    import argparse as _argparse
+    p = build_parser()
+    for action in p._actions:
+        action.default = _argparse.SUPPRESS
+        action.required = False
+    d = vars(p.parse_args(argv))
+    for k in ("train_manifest_list", "valid_manifest_list",
+              "test_manifest_list", "lang_list", "device_ids"):
+        if d.get(k) is not None and k in d:
+            d[k] = tuple(d[k])
+    return d
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,11 @@ class ManifestDataset:
             with open(path, encoding="utf-8") as f:
                 rows = [ln.strip().split(",") for ln in f if ln.strip()]
             entries = [(r[0], r[1]) for r in rows]
+            if not entries:
+                # fail at construction, not as a ZeroDivisionError the
+                # first time get_paths randomly lands on this manifest
+                # mid-epoch
+                raise ValueError(f"empty manifest: {path!r}")
             self.ids_list.append(entries)
             self.max_size = max(self.max_size, len(entries))
         self.label2id = label2id

@@ -34,15 +34,24 @@ def main(argv=None):
 
     (cfg, epoch, params, opt_state, model_state, label2id,
      id2label) = load_checkpoint(cli.continue_from)[:7]
-    # feature + model config from the checkpoint; decode/search + manifests
-    # from the CLI (test.py:78-89)
-    cfg = cfg.replace(
+    # feature + model config from the checkpoint; decode/search +
+    # manifests from the CLI (test.py:78-89), plus any other flag the
+    # user explicitly typed (resume semantics shared with train.py)
+    from end2end_asr_tpu.config import ARCH_FIELDS, explicit_cli_overrides
+    overrides = {k: getattr(cli, k)
+                 for k in explicit_cli_overrides(argv)
+                 if k not in ARCH_FIELDS}
+    overrides.update(
         test_manifest_list=cli.test_manifest_list,
         batch_size=cli.batch_size, beam_search=cli.beam_search,
         beam_width=cli.beam_width, beam_nbest=cli.beam_nbest,
         lm_rescoring=cli.lm_rescoring, lm_path=cli.lm_path,
         lm_weight=cli.lm_weight, c_weight=cli.c_weight,
-        verbose=cli.verbose)
+        lm_greedy_as_beam=cli.lm_greedy_as_beam,
+        decode_max_len=cli.decode_max_len,
+        decode_stage_len=cli.decode_stage_len,
+        verbose=cli.verbose, continue_from=cli.continue_from)
+    cfg = cfg.replace(**overrides)
 
     test_data = ManifestDataset(list(cfg.test_manifest_list), label2id,
                                 sample_rate=cfg.sample_rate)

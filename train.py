@@ -21,7 +21,8 @@ from end2end_asr_tpu.utils.platform import (enable_compilation_cache,
 honor_env_platform()
 enable_compilation_cache()
 
-from end2end_asr_tpu.config import (config_from_args, load_vocab,
+from end2end_asr_tpu.config import (ARCH_FIELDS, config_from_args,
+                                    explicit_cli_overrides, load_vocab,
                                     resolve_labels_path)
 from end2end_asr_tpu.data.dataset import ManifestDataset, NoiseInjector
 from end2end_asr_tpu.data.loader import AudioBatchLoader, BucketingSampler
@@ -49,7 +50,11 @@ def main(argv=None, trainer_cls=Trainer):
     print("=" * 50)
 
     os.makedirs("log", exist_ok=True)
-    logging.basicConfig(filename="log/" + cfg.name, filemode="w+",
+    # append on resume — truncating would wipe the very history the
+    # preemption-recovery feature exists to preserve
+    resuming = bool(cfg.continue_from or cfg.auto_resume)
+    logging.basicConfig(filename="log/" + cfg.name,
+                        filemode="a" if resuming else "w+",
                         format="%(asctime)s - %(message)s",
                         level=logging.INFO)
     logger = logging.getLogger("end2end_asr_tpu")
@@ -82,14 +87,22 @@ def main(argv=None, trainer_cls=Trainer):
             logger.info("No optimizer state in checkpoint; reinitialized "
                         "optimizer moments at noam_step=%d",
                         int(opt_state["step"]))
-        # architecture/features come from the checkpoint (functions.py:72-78)
-        cfg = ckpt_cfg.replace(
+        # architecture/features come from the checkpoint
+        # (functions.py:72-78); any OTHER flag the user explicitly typed
+        # on THIS command line overrides the checkpoint (resuming with
+        # --grad-accum 4 or --parallel --mesh-model 2 must be honored),
+        # and run identity/manifests always follow the CLI
+        overrides = {k: getattr(cfg, k)
+                     for k in explicit_cli_overrides(argv)
+                     if k not in ARCH_FIELDS}
+        overrides.update(
             train_manifest_list=cfg.train_manifest_list,
             valid_manifest_list=cfg.valid_manifest_list,
             test_manifest_list=cfg.test_manifest_list,
             epochs=cfg.epochs, name=cfg.name, save_folder=cfg.save_folder,
             batch_size=cfg.batch_size, parallel=cfg.parallel,
             shuffle=cfg.shuffle, continue_from=cfg.continue_from)
+        cfg = ckpt_cfg.replace(**overrides)
         start_epoch = epoch
     else:
         label2id, id2label = load_vocab(cfg.labels_path)

@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--lm-path", default="lm.npz")
     ap.add_argument("--lm-weight", type=float, default=0.1)
     ap.add_argument("--c-weight", type=float, default=0.1)
+    ap.add_argument("--lm-greedy-as-beam", action="store_true",
+                    help="upgrade greedy --lm-rescoring to a width-k "
+                         "LM-rescored beam (see evaluation.py)")
     args = ap.parse_args(argv)
 
     from end2end_asr_tpu.data.audio import load_audio
@@ -43,9 +46,9 @@ def main(argv=None):
         greedy_decode_progressive, ids_to_strings)
     from end2end_asr_tpu.models.transformer import dims_from_config
     from end2end_asr_tpu.ops.features import reflect_pad_pcm
+    from end2end_asr_tpu.evaluation import _strip as strip_specials
     from end2end_asr_tpu.training.checkpoint import load_checkpoint
     from end2end_asr_tpu.training.steps import make_encode_fn
-    from end2end_asr_tpu.training.trainer import strip_specials
 
     (cfg, _, params, _, model_state, label2id, id2label, _
      ) = load_checkpoint(args.continue_from)
@@ -53,7 +56,8 @@ def main(argv=None):
                       beam_width=args.beam_width,
                       lm_rescoring=args.lm_rescoring,
                       lm_path=args.lm_path, lm_weight=args.lm_weight,
-                      c_weight=args.c_weight)
+                      c_weight=args.c_weight,
+                      lm_greedy_as_beam=args.lm_greedy_as_beam)
     dims = dims_from_config(cfg)
     encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
 
@@ -68,12 +72,19 @@ def main(argv=None):
         from end2end_asr_tpu.decoding.beam import BeamDecoder
         beam = BeamDecoder(cfg, dims, id2label, lm=lm,
                    stage_len=cfg.decode_stage_len)
+    elif lm is not None:
+        print("warning: --lm-rescoring without --beam-search leaves the "
+              "LM unused (reference transformer.py:117-118); pass "
+              "--lm-greedy-as-beam for an LM-rescored beam",
+              file=sys.stderr)
 
     n_fft, hop = cfg.n_fft, cfg.hop_length
     for path in args.wavs:
         y = load_audio(path)
         frames = min(num_frames(len(y), n_fft, hop), cfg.src_max_len)
         T_b = min(pick_bucket(frames, cfg.src_buckets), cfg.src_max_len)
+        frames = min(frames, T_b)  # clamp like loader._build_batch when
+        # src_max_len exceeds the bucket ladder's top rung
         n_pcm = (T_b - 1) * hop
         pcm = reflect_pad_pcm(y[:n_pcm], n_fft, n_pcm)[None, :]
         enc_out, _ = encode_fn(params, model_state, pcm,
