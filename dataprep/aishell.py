@@ -17,7 +17,6 @@ Produces, like the reference:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 
@@ -91,11 +90,9 @@ def write_manifest(rows, path: str, lang: bool, labels: dict):
 
 
 def write_labels(labels: dict, path: str):
-    """AiShell label JSON layout: '_' first, ' ' last
-    (data/aishell.py:336-359)."""
-    out = ["_"] + [c for c in labels if c not in ("", "_", " ")] + [" "]
-    with open(path, "w", encoding="utf-8") as f:
-        json.dump(out, f, ensure_ascii=False, indent=0)
+    """AiShell label JSON layout — one owner (dataprep/utils.py)."""
+    from dataprep.utils import write_labels_json
+    write_labels_json(labels, path)
 
 
 def main():
@@ -111,7 +108,16 @@ def main():
     print("PREPROCESSING")
     splits = {s: clean_split(args.root, s) for s in ("train", "dev", "test")}
 
-    labels: dict = {}
+    # the reference seeds the label dict with '_' and the full a-z
+    # alphabet BEFORE scanning transcripts (data/aishell.py:283-289), so
+    # its label files always contain every English letter even when the
+    # corpus is missing some — and the lang pass keeps accumulating into
+    # the SAME dict (:360-407), making aishell_lang_labels.json a
+    # superset of aishell_labels.json. Reproduce both for vocab-index
+    # interop with reference-trained checkpoints.
+    labels: dict = {"_": True}
+    for char in "abcdefghijklmnopqrstuvwxyz":
+        labels[char] = True
     for split, rows in splits.items():
         write_manifest(rows, os.path.join(
             args.manifest_dir, f"aishell_{split}_manifest.csv"),
@@ -120,16 +126,15 @@ def main():
                                       "aishell_labels.json"))
     print(len(labels))
 
-    labels_lang: dict = {}
     for split, rows in splits.items():
         write_manifest(rows, os.path.join(
             args.manifest_dir, f"aishell_{split}_lang_manifest.csv"),
-            lang=True, labels=labels_lang)
-    labels_lang[CHINESE_TAG] = True
-    labels_lang[ENGLISH_TAG] = True
-    write_labels(labels_lang, os.path.join(args.labels_dir,
-                                           "aishell_lang_labels.json"))
-    print(len(labels_lang))
+            lang=True, labels=labels)
+    labels[CHINESE_TAG] = True
+    labels[ENGLISH_TAG] = True
+    write_labels(labels, os.path.join(args.labels_dir,
+                                      "aishell_lang_labels.json"))
+    print(len(labels))
 
 
 if __name__ == "__main__":

@@ -124,7 +124,9 @@ def main():
 
         for url in lst_libri_urls:
             filename = url.split("/")[-1]
-            if filename not in files_to_dl:
+            # substring match like the reference (librispeech.py:81-82):
+            # --files-to-use train-clean-100 matches the tarball URL
+            if not any(f and f in url for f in files_to_dl):
                 print(f"Skipping url: {url}")
                 continue
             target_filename = os.path.join(split_dir, filename)

@@ -10,7 +10,6 @@ single chars.
 from __future__ import annotations
 
 import re
-import unicodedata
 
 CHINESE_TAG = "†"
 ENGLISH_TAG = "‡"
@@ -77,12 +76,10 @@ def preprocess(seq: str) -> str:
     return collapse_spaces(seq)
 
 
-def is_chinese_char(cc: str) -> bool:
-    return unicodedata.category(cc) == "Lo"
-
-
-def is_contain_chinese_word(seq: str) -> bool:
-    return any(is_chinese_char(c) for c in seq)
+# one owner for the language-detection rule — prep and runtime
+# segmentation must never diverge
+from end2end_asr_tpu.utils.helper import (is_chinese_char,  # noqa: E402,F401
+                                          is_contain_chinese_word)
 
 
 def add_lang(seq: str) -> str:

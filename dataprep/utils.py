@@ -60,7 +60,9 @@ def order_and_prune_files(file_paths: List[str],
                           max_duration: Optional[float]) -> List[str]:
     print("Sorting manifests...")
     with_durations = [(p, get_audio_length(p)) for p in file_paths]
-    if min_duration and max_duration:
+    if min_duration is not None and max_duration is not None:
+        # `is not None`, not truthiness: min_duration=0 is a valid
+        # "no lower bound" and must not disable the max cut
         print(f"Pruning manifests between {min_duration} and "
               f"{max_duration} seconds")
         with_durations = [(p, d) for p, d in with_durations

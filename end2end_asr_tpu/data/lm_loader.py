@@ -43,7 +43,12 @@ def corpus_from_manifests(manifest_paths: Sequence[str]) -> List[List[str]]:
                 line = line.strip()
                 if not line:
                     continue
-                txt_path = line.split(",")[1]
+                parts = line.split(",")
+                if len(parts) < 2:
+                    raise ValueError(
+                        f"malformed manifest line in {mp!r} (expected "
+                        f"'wav,txt'): {line!r}")
+                txt_path = parts[1]
                 with open(txt_path, encoding="utf-8") as tf:
                     words = words_from_text(tf.read())
                 if words:

@@ -150,6 +150,11 @@ class LM:
         for w in words:
             if w in self.word2idx:
                 ids.append(self.word2idx[w])
+            elif w.lower() in self.word2idx:
+                # lm_train's corpus builder lowercases
+                # (data/lm_loader.py words_from_text); hypotheses built
+                # from uppercase label sets must not all fall to <oov>
+                ids.append(self.word2idx[w.lower()])
             else:
                 ids.append(oov_id)
                 oov += 1

@@ -67,25 +67,24 @@ def clip_by_global_norm(grads, max_norm: float):
     return jax.tree_util.tree_map(lambda g: g * scale, grads), gnorm
 
 
-def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
-                     clip: bool = False, max_norm: float = 400.0
-                     ) -> Tuple[Dict, Dict, jnp.ndarray]:
-    """One optimizer step. Returns (new_params, new_state, lr)."""
-    if clip:
-        grads, _ = clip_by_global_norm(grads, max_norm)
+def adam_update(params, grads, state: Dict, lr,
+                beta1: float = 0.9, beta2: float = 0.999,
+                eps: float = 1e-8) -> Tuple[Dict, Dict]:
+    """One bias-corrected Adam step at an externally-chosen lr (torch
+    semantics). Shared by the Noam schedule below and lm_train.py's
+    fixed-lr path — one owner for the update rule (incl. the optional
+    bf16 moment storage)."""
     step = state["step"] + 1
-    lr = noam_rate(step, c)
     t = step.astype(jnp.float32)
-    bc1 = 1.0 - c.beta1 ** t
-    bc2 = 1.0 - c.beta2 ** t
+    bc1 = 1.0 - beta1 ** t
+    bc2 = 1.0 - beta2 ** t
 
     def upd(p, g, m, v):
         g = g.astype(jnp.float32)
         mdt = m.dtype  # moments may be stored bf16 (init_adam_state)
-        m = c.beta1 * m.astype(jnp.float32) + (1.0 - c.beta1) * g
-        v = (c.beta2 * v.astype(jnp.float32)
-             + (1.0 - c.beta2) * jnp.square(g))
-        denom = jnp.sqrt(v / bc2) + c.eps
+        m = beta1 * m.astype(jnp.float32) + (1.0 - beta1) * g
+        v = beta2 * v.astype(jnp.float32) + (1.0 - beta2) * jnp.square(g)
+        denom = jnp.sqrt(v / bc2) + eps
         new_p = p - lr * (m / bc1) / denom
         return new_p, m.astype(mdt), v.astype(mdt)
 
@@ -98,7 +97,19 @@ def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
     new_params = treedef.unflatten([o[0] for o in out])
     new_mu = treedef.unflatten([o[1] for o in out])
     new_nu = treedef.unflatten([o[2] for o in out])
-    return new_params, {"step": step, "mu": new_mu, "nu": new_nu}, lr
+    return new_params, {"step": step, "mu": new_mu, "nu": new_nu}
+
+
+def adam_noam_update(params, grads, state: Dict, c: NoamConfig,
+                     clip: bool = False, max_norm: float = 400.0
+                     ) -> Tuple[Dict, Dict, jnp.ndarray]:
+    """One optimizer step. Returns (new_params, new_state, lr)."""
+    if clip:
+        grads, _ = clip_by_global_norm(grads, max_norm)
+    lr = noam_rate(state["step"] + 1, c)
+    new_params, new_state = adam_update(params, grads, state, lr,
+                                        c.beta1, c.beta2, c.eps)
+    return new_params, new_state, lr
 
 
 # ---------------------------------------------------------------------------

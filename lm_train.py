@@ -50,6 +50,10 @@ def main(argv=None):
     ap.add_argument("--min-count", type=int, default=1)
     ap.add_argument("--seed", type=int, default=123456)
     args = ap.parse_args(argv)
+    if args.tie_weights and args.ninp != args.nhid:
+        # fail before the (possibly minutes-long) corpus scan
+        ap.error(f"--tie-weights requires --ninp == --nhid "
+                 f"(got {args.ninp} vs {args.nhid})")
 
     logging.basicConfig(stream=sys.stdout, level=logging.INFO,
                         format="%(asctime)s - %(message)s")
@@ -60,9 +64,6 @@ def main(argv=None):
     stream = batchify(sents, word2idx, args.batch_size)
     log.info("corpus: %d sentences, vocab %d, stream %s",
              len(sents), len(word2idx), stream.shape)
-    if args.tie_weights and args.ninp != args.nhid:
-        raise ValueError("tie-weights requires ninp == nhid")
-
     params = init_lstm_params(jax.random.PRNGKey(args.seed), len(word2idx),
                               args.ninp, args.nhid, args.nlayers,
                               args.tie_weights)
@@ -79,24 +80,10 @@ def main(argv=None):
             return -jnp.mean(ll)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # plain Adam at fixed lr (bias-corrected, torch semantics)
-        st = opt["step"] + 1
-        t = st.astype(jnp.float32)
-        b1, b2, eps = 0.9, 0.999, 1e-8
-
-        def upd(p, g, m, v):
-            m = b1 * m + (1 - b1) * g
-            v = b2 * v + (1 - b2) * g * g
-            return (p - lr * (m / (1 - b1 ** t))
-                    / (jnp.sqrt(v / (1 - b2 ** t)) + eps), m, v)
-
-        flat_p, td = jax.tree_util.tree_flatten(params)
-        out = [upd(p, g, m, v) for p, g, m, v in zip(
-            flat_p, td.flatten_up_to(grads), td.flatten_up_to(opt["mu"]),
-            td.flatten_up_to(opt["nu"]))]
-        new_params = td.unflatten([o[0] for o in out])
-        new_opt = {"step": st, "mu": td.unflatten([o[1] for o in out]),
-                   "nu": td.unflatten([o[2] for o in out])}
+        # plain Adam at fixed lr (bias-corrected, torch semantics) —
+        # shared update rule (training/optimizer.py adam_update)
+        from end2end_asr_tpu.training.optimizer import adam_update
+        new_params, new_opt = adam_update(params, grads, opt, lr)
         return new_params, new_opt, loss
 
     for epoch in range(args.epochs):
@@ -108,6 +95,11 @@ def main(argv=None):
                                      jnp.asarray(targets))
             total += float(loss)
             n += 1
+        if n == 0:
+            raise ValueError(
+                "corpus too small: no BPTT batch reached 2 columns — "
+                f"need at least ~2x --batch-size ({args.batch_size}) "
+                "words; lower --batch-size/--bptt or add manifests")
         log.info("epoch %d: loss %.4f ppl %.1f", epoch + 1, total / n,
                  float(np.exp(total / n)))
 
