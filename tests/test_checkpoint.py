@@ -57,11 +57,16 @@ def test_noam_step_continuity_across_checkpoint(tmp_path):
 
 def test_config_tuple_roundtrip(tmp_path):
     cfg = Config(train_manifest_list=("a.csv", "b.csv"),
-                 src_buckets=(100, 200))
+                 src_buckets=(100, 200), src_max_len=200)
     cfg2 = Config.from_dict(cfg.to_dict())
     assert cfg2.train_manifest_list == ("a.csv", "b.csv")
     assert cfg2.src_buckets == (100, 200)
     assert cfg2 == cfg
+    # a ladder that does NOT cover src_max_len auto-extends (the silent
+    # long-utterance truncation guard in Config.__post_init__)
+    cfg3 = Config(src_buckets=(100, 200))  # default src_max_len 4000
+    assert cfg3.src_buckets == (100, 200, 4000)
+    assert Config.from_dict(cfg3.to_dict()) == cfg3
 
 
 def test_orbax_format_roundtrip_and_autodetect(tmp_path):
