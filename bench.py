@@ -25,8 +25,6 @@ Prints ONE JSON line.
 import json
 import time
 
-import numpy as np
-
 A100_BASELINE_UTTS_PER_SEC = 65.0  # documented estimate, see module docstring
 
 BATCH = 12
@@ -44,6 +42,10 @@ MEASURE_PASSES = 2
 
 def main():
     import functools
+
+    from end2end_asr_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS=cpu smoke runs stay on CPU
+
     import jax
 
     jax.config.update("jax_default_prng_impl", "rbg")
@@ -63,8 +65,7 @@ def main():
     step = make_train_step(cfg, dims, from_pcm=True)
 
     pcm, n_frames, targets, tgt_lengths = _synthetic_batch(
-        cfg, BATCH, T_FRAMES, U_TGT)
-    targets = np.minimum(targets, VOCAB - 1).astype(np.int32)
+        cfg, BATCH, T_FRAMES, U_TGT, num_vocab=VOCAB)
     # upload once — passing host numpy would re-transfer the 6 MB batch
     # every dispatch (in production the Prefetcher device_puts batches in
     # a background thread, overlapping the copy with compute)
@@ -94,8 +95,10 @@ def main():
         dt_pass = time.time() - t0
         dt = dt_pass if dt is None else min(dt, dt_pass)
 
-    n_chips = max(1, len(jax.devices()))
-    utts_per_sec_per_chip = BATCH * MEASURE_STEPS / dt / n_chips
+    # the jitted step is single-device (no mesh): per-chip = this chip.
+    # Dividing by len(jax.devices()) would under-report N-fold on a
+    # multi-chip host where the other chips sit idle.
+    utts_per_sec_per_chip = BATCH * MEASURE_STEPS / dt
     ms_per_step = dt / MEASURE_STEPS * 1000
 
     # XLA's own FLOP count for the compiled step → achieved TFLOP/s and
@@ -112,11 +115,12 @@ def main():
             # Pallas kernel (ops/vgg_fused.py); add its known conv FLOPs
             # (conv1+conv2 fwd, + dW2 + dx1 + conv1 replay/dW1 bwd)
             # so MFU stays comparable with the pre-kernel accounting.
-            from end2end_asr_tpu.models.frontend import _use_fused_block1
-            import jax.numpy as jnp
+            from end2end_asr_tpu.ops.vgg_fused import supported
             F = cfg.n_freq
-            if cfg.feat_extractor == "vgg_cnn" and _use_fused_block1(
-                    jnp.zeros((BATCH, F, T_FRAMES))):
+            if (cfg.feat_extractor == "vgg_cnn"
+                    and jax.default_backend() == "tpu"
+                    and supported(F, T_FRAMES)):  # shape-only check — no
+                # need to materialize a device array just for .shape
                 conv1 = 2 * BATCH * F * T_FRAMES * 64 * 9
                 conv2 = 2 * BATCH * F * T_FRAMES * 64 * 64 * 9
                 tflops_per_step += (3 * (conv1 + conv2) + conv1) / 1e12

@@ -15,9 +15,10 @@ class Logger:
         self.terminal = sys.stdout
         self.log = open(path, mode, encoding="utf-8")
 
-    def write(self, message: str) -> None:
-        self.terminal.write(message)
+    def write(self, message: str) -> int:
+        n = self.terminal.write(message)
         self.log.write(message)
+        return n  # TextIOBase contract: chars written
 
     def flush(self) -> None:
         self.terminal.flush()
@@ -25,3 +26,9 @@ class Logger:
 
     def close(self) -> None:
         self.log.close()
+
+    def __getattr__(self, name):
+        # delegate the rest of the stream protocol (isatty, encoding,
+        # fileno, buffer, …) to the real stdout so libraries probing
+        # sys.stdout keep working after the tee is installed
+        return getattr(self.terminal, name)

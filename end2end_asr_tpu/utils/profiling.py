@@ -23,7 +23,13 @@ class ThroughputMeter:
         self._t0 = time.time()
 
     def stop(self, utts: int, audio_seconds: float = 0.0) -> float:
-        dt = time.time() - (self._t0 or time.time())
+        if self._t0 is None:
+            # stop() without a prior start() (e.g. a deferred drain
+            # arriving before the first start of an epoch): don't count
+            # the batch at ~zero elapsed time — that inflates the first
+            # logged utt/s by orders of magnitude
+            return 0.0
+        dt = time.time() - self._t0
         self.steps += 1
         self.utts += utts
         self.audio_seconds += audio_seconds

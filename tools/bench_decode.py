@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    from end2end_asr_tpu.utils.platform import honor_env_platform
+    honor_env_platform()  # JAX_PLATFORMS=cpu smoke runs stay on CPU
+
     import jax
 
     from __graft_entry__ import _flagship_cfg, _synthetic_batch
@@ -42,10 +45,9 @@ def main():
 
     encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
     enc_out, _ = encode_fn(params, state, pcm, n_frames, spect_T=T_FRAMES)
-    jax.block_until_ready(enc_out)
-
     # NOTE: jax.block_until_ready does not block through this image's
     # remote-TPU tunnel; sync via host reads of the results.
+    np.asarray(enc_out[:1, :1, :1])
     results = {}
     # greedy: 300 steps (reference cap)
     ids = greedy_decode(params, enc_out, dims, max_len=300)
