@@ -23,11 +23,18 @@ Prints ONE JSON line.
 """
 
 import json
+import sys
 import time
 
 A100_BASELINE_UTTS_PER_SEC = 65.0  # documented estimate, see module docstring
 
 BATCH = 12
+# Optional: `python bench.py --batch 24` measures a larger per-chip batch
+# (scaling headroom probe — BENCH_NOTES.md). The driver's no-arg
+# invocation keeps the README-config batch of 12, so vs_baseline stays
+# apples-to-apples.
+if "--batch" in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
 T_FRAMES = 800   # ~8s at 10ms hop
 U_TGT = 48
 VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
@@ -134,9 +141,10 @@ def main():
             achieved_tflops=round(achieved, 1),
             mfu_pct_vs_v5e_bf16_peak=round(achieved / 197.0 * 100, 1))
 
+    batch_note = "" if BATCH == 12 else f", batch {BATCH}"
     print(json.dumps({
         "metric": "utterances/sec/chip (train, AiShell README config, "
-                  "800-frame bucket, incl. on-device features)",
+                  f"800-frame bucket, incl. on-device features{batch_note})",
         "value": round(utts_per_sec_per_chip, 2),
         "unit": "utt/s/chip",
         "vs_baseline": round(
