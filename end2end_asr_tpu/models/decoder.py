@@ -137,7 +137,10 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
     cross_mask = L.attn_pad_mask_from_lengths(enc_input_lengths, T_enc, U)
 
     scale = logit_scale(dim_model, emb_trg_sharing)
-    emb = p["embedding"][seq_in] * scale + p["pe"][None, :U]
+    # PE is a fixed (non-trainable) buffer in the reference: stop_gradient
+    # so it never enters the grad norm or the Adam update.
+    emb = (p["embedding"][seq_in] * scale
+           + jax.lax.stop_gradient(p["pe"])[None, :U])
     if rng is not None:
         rng, sub = jax.random.split(rng)
         out = L.dropout(sub, emb, dropout_rate, deterministic)

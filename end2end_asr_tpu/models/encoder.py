@@ -61,7 +61,9 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
 
     out = L.layer_norm(p["ln_input"], L.dense(p["input_linear"], x, dtype)
                        .astype(jnp.float32))
-    out = out + p["pe"][None, :T]
+    # PE is a fixed buffer in the reference (common_layers.py:76-98,
+    # registered non-trainable): stop_gradient so Adam never updates it.
+    out = out + jax.lax.stop_gradient(p["pe"])[None, :T]
 
     def layer_fn(lp, out, non_pad, self_attn_mask, r1, r2):
         out = L.mha(lp["self_attn"], out, out, out,
