@@ -181,6 +181,14 @@ class Config:
     # properly subsampled lengths (recommended for new models).
     ref_compat_masks: bool = True
     use_pallas_features: bool = True  # fused on-device feature kernel
+    # Host→device PCM wire dtype. "int16" halves the per-batch transfer
+    # (the measured bottleneck of the trainer loop on the remote-TPU
+    # tunnel: ~175 ms per 6 MB f32 batch, tools/probe_tunnel.py) and is
+    # EXACT for WAV-sourced audio: int16 samples → f32/32768 on device is
+    # bit-identical to host-side normalization, and augmented audio
+    # quantizing back to int16 matches the reference's sox-tempfile WAV
+    # round trip (utils/audio.py:22-45). "float32" = legacy wire.
+    pcm_wire_dtype: str = "int16"
     # capture a jax.profiler trace of the first training epoch into this
     # directory (view with TensorBoard/xprof); empty = off
     trace_dir: str = ""
@@ -383,6 +391,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "of the reference's raw-length (no-op) masks")
     p.add_argument("--no-pallas-features", dest="use_pallas_features",
                    action="store_false")
+    p.add_argument("--pcm-wire-dtype", default="int16",
+                   choices=["int16", "float32"],
+                   help="host→device PCM transfer dtype (int16 halves "
+                        "the per-batch copy; exact for WAV audio)")
     p.add_argument("--trace-dir", default="", type=str,
                    help="capture a jax.profiler trace of the first epoch "
                         "into this directory")

@@ -230,6 +230,14 @@ class AudioBatchLoader:
         for i, y in enumerate(pcms):
             y = y[:n_pcm]
             pcm[i] = reflect_pad_pcm(y, n_fft, n_pcm)
+        if cfg.pcm_wire_dtype == "int16":
+            # halve the host→device copy; exact for WAV-sourced audio
+            # (the decode is int16/32768, so ×32768 returns the original
+            # samples; augmented audio rounds like the reference's sox
+            # WAV-tempfile round trip). De-scaled on device in
+            # ops.features.pcm_to_f32.
+            pcm = np.clip(np.rint(pcm * 32768.0), -32768,
+                          32767).astype(np.int16)
         return Batch(pcm=pcm, spect=None, n_frames=frames, src_bucket=T_b,
                      targets=targets, tgt_lengths=tgt_lengths,
                      src_percentages=frames / float(T_b),
@@ -259,22 +267,27 @@ class Prefetcher:
 
         import jax
 
+        fields = ("pcm", "spect", "n_frames", "targets", "tgt_lengths")
+        if self.shardings is None:
+            # ONE device_put over the whole batch pytree: per-field puts
+            # each pay a fixed dispatch cost (~30 ms on the remote-TPU
+            # tunnel — tools/probe_tunnel.py stage 4 vs 6), so batching
+            # them halves the transfer-bound step floor.
+            present = {f: getattr(batch, f) for f in fields
+                       if getattr(batch, f) is not None}
+            return dataclasses.replace(batch, **jax.device_put(present))
+
         def put(name, arr):
             if arr is None:
                 return None
-            sh = (self.shardings or {}).get(name)
+            sh = self.shardings.get(name)
             if sh is not None:
                 from end2end_asr_tpu.parallel.mesh import put_sharded
                 return put_sharded(arr, sh)
             return jax.device_put(arr)
 
         return dataclasses.replace(
-            batch,
-            pcm=put("pcm", batch.pcm),
-            spect=put("spect", batch.spect),
-            n_frames=put("n_frames", batch.n_frames),
-            targets=put("targets", batch.targets),
-            tgt_lengths=put("tgt_lengths", batch.tgt_lengths))
+            batch, **{f: put(f, getattr(batch, f)) for f in fields})
 
     def __iter__(self) -> Iterator[Batch]:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)

@@ -51,15 +51,25 @@ def reflect_pad_pcm(y: np.ndarray, n_fft: int, out_len: int) -> np.ndarray:
     return out
 
 
+def pcm_to_f32(pcm: jnp.ndarray) -> jnp.ndarray:
+    """De-scale int16 wire-format PCM (data/loader.py pcm_wire_dtype) on
+    device: int16/32768 is bit-identical to the host-side normalization
+    the WAV decode would have applied (samples ARE int16 on disk)."""
+    if pcm.dtype == jnp.int16:
+        return pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return pcm
+
+
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop", "window",
                                              "T_out", "normalize"))
 def batched_features(pcm_padded: jnp.ndarray, n_valid_frames: jnp.ndarray,
                      n_fft: int, hop: int, window: str, T_out: int,
                      normalize: bool = True) -> jnp.ndarray:
-    """pcm_padded: (B, N + 2*(n_fft//2)) host-reflect-padded PCM.
-    n_valid_frames: (B,) = 1 + n_samples//hop. Returns (B, F, T_out)
-    log-spectrograms, zero outside the valid region.
+    """pcm_padded: (B, N + 2*(n_fft//2)) host-reflect-padded PCM (f32, or
+    int16 wire format). n_valid_frames: (B,) = 1 + n_samples//hop.
+    Returns (B, F, T_out) log-spectrograms, zero outside the valid region.
     """
+    pcm_padded = pcm_to_f32(pcm_padded)
     B = pcm_padded.shape[0]
     n_freq = n_fft // 2 + 1
 

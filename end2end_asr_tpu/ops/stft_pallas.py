@@ -152,6 +152,8 @@ _batched_features_partitioned = batch_partitioned(
                                              "T_out", "normalize"))
 def batched_features_pallas(pcm_padded, n_valid_frames, n_fft, hop,
                             window, T_out, normalize=True):
+    from end2end_asr_tpu.ops.features import pcm_to_f32
+    pcm_padded = pcm_to_f32(pcm_padded)  # int16 wire → f32, pre-kernel
     cos, sin, _ = _padded_basis(n_fft, window)
     return _batched_features_partitioned(
         pcm_padded, n_valid_frames, jnp.asarray(cos), jnp.asarray(sin),

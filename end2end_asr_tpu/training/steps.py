@@ -206,10 +206,34 @@ def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
     return step
 
 
+# Jitted-step memo: jax.jit caches traces on the *wrapper object*, so a
+# fresh make_*_step per Trainer.train() call used to retrace (and, on
+# the remote-compile tunnel, re-fetch) the whole grad program — ~30 s
+# of the measured 1 s/step trainer-loop gap (tools/probe_tunnel.py,
+# BENCH_NOTES round 4). Config and ModelDims are frozen/hashable, so
+# identical (cfg, dims, from_pcm) reuse one wrapper process-wide.
+_JIT_CACHE: Dict = {}
+
+
+def _memo(kind: str, cfg: Config, dims: ModelDims, from_pcm: bool, build):
+    try:
+        key = (kind, cfg, dims, from_pcm)
+        hash(key)
+    except TypeError:
+        return build()
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = build()
+    return fn
+
+
 def make_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
-    impl = make_train_step_impl(cfg, dims, from_pcm)
-    return functools.partial(jax.jit, static_argnames=("spect_T",),
-                             donate_argnums=(0, 1))(impl)
+    def build():
+        impl = make_train_step_impl(cfg, dims, from_pcm)
+        return functools.partial(jax.jit, static_argnames=("spect_T",),
+                                 donate_argnums=(0, 1))(impl)
+
+    return _memo("train", cfg, dims, from_pcm, build)
 
 
 def make_multi_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
@@ -224,28 +248,38 @@ def make_multi_train_step(cfg: Config, dims: ModelDims, from_pcm: bool):
     bottleneck rather than the chip. The trainer groups consecutive
     equal-shape batches and falls back to the single-step program for
     partial groups (training/trainer.py)."""
-    impl = make_train_step_impl(cfg, dims, from_pcm)
+    def build():
+        impl = make_train_step_impl(cfg, dims, from_pcm)
 
-    @functools.partial(jax.jit, static_argnames=("spect_T",),
-                       donate_argnums=(0, 1))
-    def multi_step(params, opt_state, model_state, rngs,
-                   pcm_or_spect, n_frames, targets, tgt_lengths, spect_T):
-        def body(carry, x):
-            p, o, s = carry
-            rng, arr, nf, tg, tl = x
-            p, o, s, m, hyp, gold = impl(p, o, s, rng, arr, nf, tg, tl,
-                                         spect_T)
-            return (p, o, s), (m, hyp, gold)
+        @functools.partial(jax.jit, static_argnames=("spect_T",),
+                           donate_argnums=(0, 1))
+        def multi_step(params, opt_state, model_state, rngs,
+                       pcm_or_spect, n_frames, targets, tgt_lengths,
+                       spect_T):
+            def body(carry, x):
+                p, o, s = carry
+                rng, arr, nf, tg, tl = x
+                p, o, s, m, hyp, gold = impl(p, o, s, rng, arr, nf, tg,
+                                             tl, spect_T)
+                return (p, o, s), (m, hyp, gold)
 
-        (params, opt_state, model_state), (ms, hyps, golds) = jax.lax.scan(
-            body, (params, opt_state, model_state),
-            (rngs, pcm_or_spect, n_frames, targets, tgt_lengths))
-        return params, opt_state, model_state, ms, hyps, golds
+            ((params, opt_state, model_state),
+             (ms, hyps, golds)) = jax.lax.scan(
+                body, (params, opt_state, model_state),
+                (rngs, pcm_or_spect, n_frames, targets, tgt_lengths))
+            return params, opt_state, model_state, ms, hyps, golds
 
-    return multi_step
+        return multi_step
+
+    return _memo("multi", cfg, dims, from_pcm, build)
 
 
 def make_eval_step(cfg: Config, dims: ModelDims, from_pcm: bool):
+    return _memo("eval", cfg, dims, from_pcm,
+                 lambda: _build_eval_step(cfg, dims, from_pcm))
+
+
+def _build_eval_step(cfg: Config, dims: ModelDims, from_pcm: bool):
     smoothing = cfg.label_smoothing
     loss_type = cfg.loss
 
@@ -272,6 +306,11 @@ def make_eval_step(cfg: Config, dims: ModelDims, from_pcm: bool):
 
 def make_encode_fn(cfg: Config, dims: ModelDims, from_pcm: bool):
     """Jitted encode for decoding paths (greedy/beam)."""
+    return _memo("encode", cfg, dims, from_pcm,
+                 lambda: _build_encode_fn(cfg, dims, from_pcm))
+
+
+def _build_encode_fn(cfg: Config, dims: ModelDims, from_pcm: bool):
     from end2end_asr_tpu.models.transformer import encode
 
     @functools.partial(jax.jit, static_argnames=("spect_T",))
