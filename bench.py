@@ -22,19 +22,19 @@ Revisit when a measured number exists.
 Prints ONE JSON line.
 """
 
+import argparse
 import json
-import sys
 import time
 
 A100_BASELINE_UTTS_PER_SEC = 65.0  # documented estimate, see module docstring
 
-BATCH = 12
 # Optional: `python bench.py --batch 24` measures a larger per-chip batch
 # (scaling headroom probe — BENCH_NOTES.md). The driver's no-arg
 # invocation keeps the README-config batch of 12, so vs_baseline stays
-# apples-to-apples.
-if "--batch" in sys.argv:
-    BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+# apples-to-apples; non-default batches report vs_baseline=null.
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--batch", type=int, default=12)
+BATCH = _ap.parse_args().batch
 T_FRAMES = 800   # ~8s at 10ms hop
 U_TGT = 48
 VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
@@ -147,8 +147,12 @@ def main():
                   f"800-frame bucket, incl. on-device features{batch_note})",
         "value": round(utts_per_sec_per_chip, 2),
         "unit": "utt/s/chip",
-        "vs_baseline": round(
-            utts_per_sec_per_chip / A100_BASELINE_UTTS_PER_SEC, 3),
+        # the A100 estimate is for batch 12 — a larger batch inflating
+        # the ratio would mislead JSON consumers (ADVICE r3)
+        "vs_baseline": (round(
+            utts_per_sec_per_chip / A100_BASELINE_UTTS_PER_SEC, 3)
+            if BATCH == 12 else None),
+        "batch": BATCH,
         **extras,
     }))
 

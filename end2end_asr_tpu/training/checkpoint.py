@@ -106,8 +106,17 @@ def save_checkpoint(base_path: str, cfg: Config, epoch: int,
     if d:  # bare filenames in the cwd have no directory to create
         os.makedirs(d, exist_ok=True)
     if fmt == "orbax":
+        # meta is tiny host JSON: write it ONCE (process 0) and BEFORE
+        # the orbax save — the save is a collective barrier across the
+        # cluster, so any process that finishes save_checkpoint can
+        # immediately load_checkpoint (which reads meta first). This is
+        # the multi-host configuration orbax exists for (sharded arrays
+        # whose shards live on different hosts — np.savez can't see
+        # non-addressable shards at all).
+        import jax
+        if jax.process_index() == 0:
+            _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)
         _save_orbax(base_path, params, opt_state, model_state)
-        _write_meta(base_path, cfg, epoch, label2id, id2label, metrics)
         return
     arrays = {}
     arrays.update({"params" + SEP + k: v

@@ -94,6 +94,37 @@ def main():
     assert np.isfinite(loss), loss
     print(f"MP p{pidx} TRAIN loss={loss:.6f}", flush=True)
 
+    # --- orbax checkpoint ACROSS the cluster (VERDICT r3 weak #6):
+    # collective save from both processes, then a load on every process
+    # must reproduce params/opt-state bit-exactly and resume the epoch.
+    ckpt_dir = os.environ.get("MP_ORBAX_DIR")
+    if ckpt_dir:
+        from end2end_asr_tpu.training import checkpoint as ckpt
+        base = os.path.join(ckpt_dir, "epoch_1")
+        ckpt.save_checkpoint(base, cfg, 1, params, opt_state, state,
+                             label2id, id2label,
+                             {"valid_loss": loss}, fmt="orbax")
+        (cfg2, epoch2, p2, o2, _s2, _l2, _i2, m2
+         ) = ckpt.load_checkpoint(base)
+        assert epoch2 == 1 and cfg2 == cfg
+        assert m2["valid_loss"] == loss
+        for (path_a, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(params)[0],
+                jax.tree_util.tree_leaves(p2)):
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(b),
+                err_msg=jax.tree_util.keystr(path_a))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(opt_state["step"])),
+            np.asarray(o2["step"]))
+        for (path_a, a), b in zip(
+                jax.tree_util.tree_flatten_with_path(opt_state["mu"])[0],
+                jax.tree_util.tree_leaves(o2["mu"])):
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(a)), np.asarray(b),
+                err_msg="mu" + jax.tree_util.keystr(path_a))
+        print(f"MP p{pidx} ORBAX ROUNDTRIP OK", flush=True)
+
     enc_out, _ = encode_fn(params, state, pcm, n_frames,
                            spect_T=batch.src_bucket)
     ids = greedy_decode_progressive(params, enc_out, dims, max_len=8,

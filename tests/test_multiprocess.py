@@ -37,6 +37,8 @@ def test_two_process_train_and_decode(tmp_path):
                                    exact_samples=63 * 160)
     corpus = os.path.dirname(manifest)
     port = _free_port()
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
 
     procs = []
     for pid in range(NPROC):
@@ -48,6 +50,7 @@ def test_two_process_train_and_decode(tmp_path):
             COORDINATOR_ADDRESS=f"localhost:{port}",
             NUM_PROCESSES=str(NPROC),
             PROCESS_ID=str(pid),
+            MP_ORBAX_DIR=ckpt_dir,
             PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
                                                           ""),
         )
@@ -75,6 +78,9 @@ def test_two_process_train_and_decode(tmp_path):
                f"global={NPROC * DEV_PER_PROC}" in out, out[-2000:]
         assert f"MP p{pid} OK" in out, out[-2000:]
         assert f"MP p{pid} DECODE n=4" in out, out[-2000:]
+        # orbax save/load across the real 2-process cluster — the
+        # configuration multi-host checkpointing exists for
+        assert f"MP p{pid} ORBAX ROUNDTRIP OK" in out, out[-2000:]
         loss_line = [l for l in out.splitlines()
                      if l.startswith(f"MP p{pid} TRAIN loss=")][0]
         losses.append(float(loss_line.split("=")[1]))
