@@ -34,7 +34,35 @@ A100_BASELINE_UTTS_PER_SEC = 65.0  # documented estimate, see module docstring
 # apples-to-apples; non-default batches report vs_baseline=null.
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--batch", type=int, default=12)
-BATCH = _ap.parse_args().batch
+_ap.add_argument("--bucket-mix", action="store_true",
+                 help="run every bucket-ladder rung (tools/bench_buckets)"
+                      " and report a duration-weighted utt/s instead")
+_args = _ap.parse_args()
+BATCH = _args.batch
+
+
+def bucket_mix():
+    """One JSON line: duration-weighted utt/s over the whole ladder
+    (delegates to tools/bench_buckets.py so the rung list has one
+    owner)."""
+    import subprocess
+    import sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "tools/bench_buckets.py", "--batch-size",
+         str(BATCH)], capture_output=True, text=True, timeout=3600)
+    lines = [json.loads(l) for l in r.stdout.splitlines()
+             if l.startswith("{")]
+    rungs = [l for l in lines if l.get("ok")]
+    summary = next((l for l in lines if "summary" in l), None)
+    print(json.dumps({
+        "metric": "duration-weighted utt/s/chip over the bucket ladder "
+                  "(train, AiShell README config)",
+        "value": summary["value"] if summary else None,
+        "unit": "utt/s/chip",
+        "vs_baseline": None,
+        "rungs": {str(l["src_bucket"]): l["ms_per_step"] for l in rungs},
+        "rungs_failed": (summary or {}).get("rungs_failed"),
+    }))
 T_FRAMES = 800   # ~8s at 10ms hop
 U_TGT = 48
 VOCAB = 4336     # AiShell label set size (data/labels/aishell_labels.json)
@@ -158,4 +186,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if _args.bucket_mix:
+        bucket_mix()
+    else:
+        main()
