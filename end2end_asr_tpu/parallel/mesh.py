@@ -73,6 +73,16 @@ def batch_sharded(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def stacked_batch_sharded(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for K-stacked batches (--steps-per-dispatch under a
+    mesh): axis 0 is the scan/step axis (replicated), axis 1 is the
+    batch axis (sharded on 'data'). jnp.stack over already-sharded
+    batches yields an op-sharding the Pallas kernels' custom_partitioning
+    cannot unflatten — re-constraining with this spec keeps the stacked
+    program partitionable."""
+    return NamedSharding(mesh, P(None, "data", *([None] * (ndim - 2))))
+
+
 def put_sharded(arr, sharding: NamedSharding):
     """device_put with a sharding; under multi-host jax.distributed, the
     host array is the PROCESS-LOCAL shard and the global jax.Array is
@@ -97,10 +107,21 @@ def shard_batch_dict(mesh: Mesh, arrays: dict) -> dict:
     return out
 
 
-def check_divisible(batch_size: int, mesh: Mesh) -> None:
+def check_divisible(batch_size: int, mesh: Mesh,
+                    grad_accum: int = 1) -> None:
     n = mesh.shape["data"]
     if batch_size % n != 0:
         raise ValueError(
             f"batch size {batch_size} must be divisible by the number of "
             f"devices on the data axis ({n}) — same constraint as the "
             f"reference's DataParallel (README.md:73)")
+    if grad_accum > 1 and (batch_size // n) % grad_accum != 0:
+        # the interleaved microbatch split (training/steps.py resh)
+        # keeps each microbatch exactly batch-sharded only when
+        # grad_accum divides the PER-DEVICE batch; otherwise GSPMD
+        # must reshard every microbatch (or fail at the Pallas
+        # custom_partitioning boundary) — reject up front.
+        raise ValueError(
+            f"--grad-accum {grad_accum} must divide the per-device "
+            f"batch {batch_size}//{n}={batch_size // n} when training "
+            f"on a mesh")

@@ -109,7 +109,18 @@ def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
                 f"--grad-accum {accum} must divide the batch size {B}")
 
         def resh(a):
-            return a.reshape(accum, B // accum, *a.shape[1:])
+            # INTERLEAVED split: microbatch m = samples [m::accum].
+            # A contiguous (accum, B/accum) reshape of a 'data'-sharded
+            # batch dim produces a sharding GSPMD can't express per
+            # microbatch (custom_partitioning unflatten crashes under a
+            # mesh); the interleaved split keeps every microbatch
+            # exactly batch-sharded whenever accum divides the
+            # per-device batch. Numerics: the loss re-weighting makes
+            # the accumulated grads grouping-independent (masked-mean
+            # CE re-weighted by tokens; CTC uniform over equal-size
+            # microbatches) — only fp summation order changes.
+            return a.reshape(B // accum, accum,
+                             *a.shape[1:]).swapaxes(0, 1)
 
         xs = (resh(pcm_or_spect), resh(n_frames), resh(targets),
               resh(tgt_lengths), jax.random.split(rng, accum))
@@ -141,8 +152,9 @@ def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
         inv = 1.0 / jnp.maximum(w_acc, 1.0)
         grads = jax.tree_util.tree_map(lambda g: g * inv, g_acc)
         loss = loss_acc * inv
-        hyp_seq = hyp_k.reshape(B, *hyp_k.shape[2:])
-        gold = gold_k.reshape(B, *gold_k.shape[2:])
+        # invert the interleave: (accum, B/accum, …) → original row order
+        hyp_seq = hyp_k.swapaxes(0, 1).reshape(B, *hyp_k.shape[2:])
+        gold = gold_k.swapaxes(0, 1).reshape(B, *gold_k.shape[2:])
         return (loss, grads, new_state, hyp_seq, gold,
                 jnp.sum(ncorr_k), jnp.sum(ntok_k))
 

@@ -270,6 +270,15 @@ class Trainer:
                 subs, arrs, nfs, tgs, tls = (
                     jnp.stack([e[c] for e in entries])
                     for c in range(1, 6))
+                if self.mesh is not None:
+                    # jnp.stack of sharded batches emits an op-sharding
+                    # the Pallas custom_partitioning can't unflatten;
+                    # re-constrain to (step, batch-sharded) explicitly
+                    from end2end_asr_tpu.parallel.mesh import \
+                        stacked_batch_sharded
+                    cons = lambda a: jax.device_put(
+                        a, stacked_batch_sharded(self.mesh, a.ndim))
+                    arrs, nfs, tgs, tls = map(cons, (arrs, nfs, tgs, tls))
                 (params, opt_state, model_state, ms, hyps, golds
                  ) = multi_step(params, opt_state, model_state, subs,
                                 arrs, nfs, tgs, tls,

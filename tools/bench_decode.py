@@ -23,6 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=800,
+                    help="source bucket (800 = flagship; 2400/4000 "
+                         "validate the long-bucket decode paths)")
+    args = ap.parse_args()
+
     from end2end_asr_tpu.utils.platform import honor_env_platform
     honor_env_platform()  # JAX_PLATFORMS=cpu smoke runs stay on CPU
 
@@ -35,7 +42,7 @@ def main():
                                                     init_transformer)
     from end2end_asr_tpu.training.steps import make_encode_fn
 
-    BATCH, T_FRAMES, VOCAB = 12, 800, 4336
+    BATCH, T_FRAMES, VOCAB = 12, args.frames, 4336
     AUDIO_SECONDS = BATCH * T_FRAMES * 0.01  # 10 ms hop
     cfg = _flagship_cfg().replace(batch_size=BATCH, beam_width=8)
     dims = dims_from_config(cfg)
@@ -126,6 +133,7 @@ def main():
     results["beam8_stage64_batch_ms"] = round(dt * 1000, 1)
     results["audio_seconds_per_batch"] = AUDIO_SECONDS
 
+    results["frames"] = T_FRAMES
     print(json.dumps(results))
 
 
