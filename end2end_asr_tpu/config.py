@@ -175,6 +175,14 @@ class Config:
     # attention/FFN weights + Adam moments shard Megatron-style, XLA GSPMD
     # inserts the per-layer all-reduces. 1 = off (data parallelism only).
     mesh_model: int = 1
+    # sequence parallelism (Megatron-SP style, parallel/sp.py): with
+    # mesh_model > 1, additionally shard the encoder's time axis across
+    # the 'model' axis in the LN/residual/dropout segments between the
+    # head/inner-sharded matmuls. GSPMD converts the TP all-reduces into
+    # reduce-scatter + all-gather (same comm volume, ~1/model_size the
+    # activation memory in those segments). Numerics identical up to fp
+    # reduction order. False = plain TP.
+    seq_parallel: bool = False
     # Reference passes raw frame lengths to post-conv (T/4) tensors, which
     # makes encoder/cross-attn pad masks a no-op when a conv frontend is on
     # (transformer.py:78, SURVEY.md §7). True = reproduce; False = compute
@@ -385,6 +393,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices on the tensor-parallel 'model' mesh axis "
                         "(attention/FFN weights shard Megatron-style; "
                         "1 = data parallelism only)")
+    p.add_argument("--seq-parallel", action="store_true",
+                   help="with --mesh-model N: also shard the encoder "
+                        "time axis across the 'model' axis between the "
+                        "TP matmuls (Megatron-SP; reduce-scatter + "
+                        "all-gather replace the all-reduces)")
     p.add_argument("--no-ref-compat-masks", dest="ref_compat_masks",
                    action="store_false",
                    help="use properly subsampled encoder pad masks instead "

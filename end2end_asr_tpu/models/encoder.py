@@ -49,11 +49,17 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
                   num_heads: int, dim_key: int, dim_value: int,
                   dropout_rate: float = 0.1, deterministic: bool = True,
                   rng=None, dtype=jnp.bfloat16,
-                  remat: bool = False) -> jnp.ndarray:
+                  remat: bool = False, seq_par: bool = False) -> jnp.ndarray:
     """x: (B, T, dim_input) post-frontend features; input_lengths: (B,).
 
     Masks follow reference semantics exactly: lengths >= T mask nothing
     (the conv-frontend no-op quirk — see layers.non_pad_mask_from_lengths).
+
+    seq_par: Megatron-SP over the time axis (parallel/sp.py) — the
+    residual/LN/dropout segments run with T sharded on the 'model' mesh
+    axis; mha/ffn gather at their matmul entries. Output is gathered
+    back to full so downstream (decoder cross-attn, decode caches) is
+    layout-unchanged.
     """
     B, T, _ = x.shape
     non_pad = L.non_pad_mask_from_lengths(input_lengths, T)  # (B,T,1)
@@ -65,14 +71,20 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
     # registered non-trainable): stop_gradient so Adam never updates it.
     out = out + jax.lax.stop_gradient(p["pe"])[None, :T]
 
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        sp.check_seq_divisible(T)
+        out = sp.seq(out)
+
     def layer_fn(lp, out, non_pad, self_attn_mask, r1, r2):
         out = L.mha(lp["self_attn"], out, out, out,
                     num_heads, dim_key, dim_value, mask=self_attn_mask,
                     dropout_rate=dropout_rate, deterministic=deterministic,
-                    rng=r1, dtype=dtype)
+                    rng=r1, dtype=dtype, seq_par=seq_par)
         out = out * non_pad
         out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
-                    deterministic=deterministic, rng=r2, dtype=dtype)
+                    deterministic=deterministic, rng=r2, dtype=dtype,
+                    seq_par=seq_par)
         return out * non_pad
 
     if remat:
@@ -84,4 +96,7 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
         else:
             r1 = r2 = None
         out = layer_fn(lp, out, non_pad, self_attn_mask, r1, r2)
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        out = sp.full(out)
     return out

@@ -230,17 +230,28 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
         num_heads: int, dim_key: int, dim_value: int,
         mask: Optional[jnp.ndarray] = None,
         dropout_rate: float = 0.0, deterministic: bool = True,
-        rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+        rng=None, dtype=jnp.bfloat16, seq_par: bool = False) -> jnp.ndarray:
     """Post-LN residual MHA.
 
     query/key_/value: (B, T, H). mask: (B, T_q, T_k) bool, True = masked
     (additive -inf before softmax, as common_layers.py:218-219).
     Softmax and the residual/LayerNorm run in float32; the four projections
     and both attention matmuls run in `dtype` (bf16 on TPU → MXU).
+
+    seq_par (encoder self-attn only): inputs arrive with T sharded on the
+    'model' mesh axis (parallel/sp.py); the projections/attention run on
+    the gathered sequence, the residual/dropout/LN segment runs
+    T-sharded — GSPMD lowers the out-projection's TP all-reduce as a
+    reduce-scatter.
     """
     B, Tq, _ = query.shape
     Tk = key_.shape[1]
     residual = query
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        query = sp.full(query)
+        key_ = sp.full(key_)
+        value = sp.full(value)
 
     q = dense(p["q"], query, dtype).reshape(B, Tq, num_heads, dim_key)
     k = dense(p["k"], key_, dtype).reshape(B, Tk, num_heads, dim_key)
@@ -279,6 +290,9 @@ def mha(p: Params, query: jnp.ndarray, key_: jnp.ndarray, value: jnp.ndarray,
             out = attn_core(q, k, v, mask, None)
     out = out.reshape(B, Tq, num_heads * dim_value)
     out = dense(p["out"], out.astype(dtype), dtype).astype(jnp.float32)
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        out = sp.seq(out)  # reduce-scatter point of the row-parallel out
     if not deterministic and dropout_rate > 0.0:
         rng, sub = jax.random.split(rng)
         out = dropout(sub, out, dropout_rate, deterministic)
@@ -301,10 +315,17 @@ def init_ffn(key, dim_model: int, dim_hidden: int, rank: int = 0) -> Params:
 
 
 def ffn(p: Params, x: jnp.ndarray, dropout_rate: float = 0.0,
-        deterministic: bool = True, rng=None, dtype=jnp.bfloat16) -> jnp.ndarray:
+        deterministic: bool = True, rng=None, dtype=jnp.bfloat16,
+        seq_par: bool = False) -> jnp.ndarray:
     residual = x
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        x = sp.full(x)  # all-gather(T) into the column-parallel w1
     h = jax.nn.relu(dense(p["w1"], x, dtype))
     h = dense(p["w2"], h, dtype).astype(jnp.float32)
+    if seq_par:
+        from end2end_asr_tpu.parallel import sp
+        h = sp.seq(h)  # reduce-scatter point of the row-parallel w2
     if not deterministic and dropout_rate > 0.0:
         h = dropout(rng, h, dropout_rate, deterministic)
     return layer_norm(p["ln"], h + residual)

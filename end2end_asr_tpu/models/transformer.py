@@ -36,6 +36,7 @@ class ModelDims(NamedTuple):
     dtype: object
     ref_compat_masks: bool
     remat: bool = False
+    seq_parallel: bool = False
 
 
 def dims_from_config(cfg: Config) -> ModelDims:
@@ -44,7 +45,8 @@ def dims_from_config(cfg: Config) -> ModelDims:
         dim_model=cfg.dim_model, emb_trg_sharing=cfg.emb_trg_sharing,
         dropout=cfg.dropout, feat_extractor=cfg.feat_extractor,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
-        ref_compat_masks=cfg.ref_compat_masks, remat=cfg.remat)
+        ref_compat_masks=cfg.ref_compat_masks, remat=cfg.remat,
+        seq_parallel=cfg.seq_parallel)
 
 
 def init_transformer(key, cfg: Config, num_vocab: int) -> Tuple[Params, Params]:
@@ -109,7 +111,8 @@ def encode(params: Params, state: Params, spect: jnp.ndarray,
         params["encoder"], feats, enc_lens,
         dims.num_heads, dims.dim_key, dims.dim_value,
         dropout_rate=dims.dropout, deterministic=not train,
-        rng=sub, dtype=dims.dtype, remat=dims.remat and train)
+        rng=sub, dtype=dims.dtype, remat=dims.remat and train,
+        seq_par=dims.seq_parallel)
     new_state = dict(state or {})
     if new_fe_state is not None and new_fe_state != {}:
         new_state["frontend"] = new_fe_state

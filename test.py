@@ -80,6 +80,11 @@ def main(argv=None):
             mesh = make_mesh(cli.mesh_data)
         check_divisible(cfg.batch_size, mesh)
 
+    if getattr(cfg, "seq_parallel", False) and mesh is not None \
+            and cli.mesh_model > 1:
+        from end2end_asr_tpu.parallel import sp
+        sp.install(mesh)
+
     results = evaluate(params, model_state, cfg, test_loader, id2label,
                        lm=lm, verbose=cfg.verbose, mesh=mesh)
     print("TEST CER:{:.2f}% WER:{:.2f}% CER_EN:{:.2f}% CER_ZH:{:.2f}%".format(

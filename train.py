@@ -155,7 +155,17 @@ def main(argv=None, trainer_cls=Trainer):
         else:
             mesh = make_mesh(cfg.mesh_data)
             logger.info("data-parallel mesh: %s", mesh)
-        check_divisible(cfg.batch_size, mesh)
+        check_divisible(cfg.batch_size, mesh, grad_accum=cfg.grad_accum)
+
+    if cfg.seq_parallel:
+        if mesh is None or cfg.mesh_model <= 1:
+            raise SystemExit("--seq-parallel requires --parallel "
+                             "--mesh-model N (N > 1): it shards the "
+                             "encoder time axis across the 'model' axis")
+        from end2end_asr_tpu.parallel import sp
+        sp.install(mesh)
+        logger.info("sequence parallelism ON (encoder T sharded over "
+                    "%d-way 'model' axis)", cfg.mesh_model)
 
     trainer = trainer_cls(cfg, label2id, id2label,
                           metrics_every=cfg.metrics_every)
