@@ -230,6 +230,13 @@ _JIT_CACHE: Dict = {}
 def _memo(kind: str, cfg: Config, dims: ModelDims, from_pcm: bool, build):
     try:
         key = (kind, cfg, dims, from_pcm)
+        if getattr(cfg, "seq_parallel", False):
+            # SP traces bake the installed mesh into their sharding
+            # constraints (parallel/sp.py module state) — key on it so a
+            # later install() with a different mesh never reuses a trace
+            # built for the old one.
+            from end2end_asr_tpu.parallel import sp
+            key += (id(sp._MESH),)
         hash(key)
     except TypeError:
         return build()
