@@ -183,6 +183,11 @@ class Config:
     # activation memory in those segments). Numerics identical up to fp
     # reduction order. False = plain TP.
     seq_parallel: bool = False
+    # weight-only int8 post-training quantization at EVAL time
+    # (test.py/transcribe.py; models/quantize.py): encoder/decoder dense
+    # weights load as int8 + per-channel scales, 4× less decode-step
+    # weight traffic. Training rejects it; checkpoints stay f32.
+    quantize_int8: bool = False
     # Reference passes raw frame lengths to post-conv (T/4) tensors, which
     # makes encoder/cross-attn pad masks a no-op when a conv frontend is on
     # (transformer.py:78, SURVEY.md §7). True = reproduce; False = compute
@@ -398,6 +403,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "time axis across the 'model' axis between the "
                         "TP matmuls (Megatron-SP; reduce-scatter + "
                         "all-gather replace the all-reduces)")
+    p.add_argument("--quantize-int8", action="store_true",
+                   help="eval-only: weight-only int8 PTQ of the "
+                        "encoder/decoder dense weights on load "
+                        "(models/quantize.py)")
     p.add_argument("--no-ref-compat-masks", dest="ref_compat_masks",
                    action="store_false",
                    help="use properly subsampled encoder pad masks instead "

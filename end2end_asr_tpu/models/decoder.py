@@ -75,7 +75,11 @@ def logit_scale(dim_model: int, emb_trg_sharing: bool) -> float:
 def output_logits(p: Params, h: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Bias-free output projection; tied to embedding when sharing."""
     if "output_linear" in p:
-        w = p["output_linear"]["w"]
+        ol = p["output_linear"]
+        if "q8" in ol:  # int8 PTQ head (models/quantize.py)
+            y = (h.astype(dtype) @ ol["q8"].astype(dtype))
+            return y.astype(jnp.float32) * ol["scale"]
+        w = ol["w"]
     else:
         w = p["embedding"].T
     return (h.astype(dtype) @ w.astype(dtype)).astype(jnp.float32)
@@ -188,12 +192,25 @@ def fused_qkv_weights(p: Params, dtype=jnp.bfloat16):
     fused = []
     for lp in p["layers"]:
         sa = lp["self_attn"]
+        if "u" in sa["q"]:  # low-rank: separate factors, no fusion
+            fused.append(None)
+            continue
+        b = jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]])
+        if "q8" in sa["q"]:
+            # int8 PTQ: per-output-channel scales concatenate alongside
+            # the int8 columns, so the fused projection stays int8 in
+            # HBM (models/quantize.py; layers.dense dequantizes).
+            q8 = jnp.concatenate(
+                [sa["q"]["q8"], sa["k"]["q8"], sa["v"]["q8"]], axis=1)
+            s = jnp.concatenate(
+                [sa["q"]["scale"], sa["k"]["scale"], sa["v"]["scale"]])
+            fused.append({"q8": q8, "scale": s, "b": b})
+            continue
         if "w" not in sa["q"]:
             fused.append(None)
             continue
         w = jnp.concatenate([sa["q"]["w"], sa["k"]["w"], sa["v"]["w"]],
                             axis=1).astype(dtype)
-        b = jnp.concatenate([sa["q"]["b"], sa["k"]["b"], sa["v"]["b"]])
         fused.append({"w": w, "b": b})
     return fused
 

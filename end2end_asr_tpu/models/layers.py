@@ -78,6 +78,15 @@ def dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
         if dtype is not None:
             u, v = u.astype(dtype), v.astype(dtype)
         y = (x @ u) @ v
+    elif "q8" in p:
+        # int8 weight-only PTQ (models/quantize.py): weights live in HBM
+        # as int8 + per-output-channel f32 scale (4× less weight traffic
+        # than f32 — the bound of the latency-dominated decode step).
+        # int8 values are exact in bf16, so the matmul itself matches
+        # the normal path's bf16-cast weights; the scale multiply runs
+        # in f32.
+        w = p["q8"].astype(dtype if dtype is not None else x.dtype)
+        y = ((x @ w).astype(jnp.float32) * p["scale"]).astype(w.dtype)
     else:
         w = p["w"] if dtype is None else p["w"].astype(dtype)
         y = x @ w

@@ -73,4 +73,19 @@ echo "== test.py beam-4 + LM rescoring"
   --beam-search --beam-width 4 --lm-rescoring --lm-path models/lm.npz \
   --lm-weight 0.1 | grep "TEST CER"
 
+echo "== test.py int8 weight-only PTQ (--quantize-int8)"
+"${PY[@]}" "$REPO/test.py" --continue-from models/smoke/best_model \
+  --test-manifest-list corpus/manifest.csv --batch-size 4 \
+  --quantize-int8 | grep "TEST CER"
+
+echo "== train 1 epoch tensor+sequence-parallel (8 virtual devices)"
+XLA_FLAGS="--xla_force_host_platform_device_count=8" \
+"${PY[@]}" "$REPO/train.py" \
+  --train-manifest-list corpus/manifest.csv \
+  --valid-manifest-list corpus/manifest.csv \
+  --labels-path corpus/labels.json --name smoke_sp --save-folder models \
+  "${MODEL_FLAGS[@]}" --epochs 1 --save-every 1 \
+  --parallel --mesh-model 2 --seq-parallel
+test -f models/smoke_sp/epoch_1.npz
+
 echo "SMOKE OK ($WORK)"

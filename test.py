@@ -53,6 +53,10 @@ def main(argv=None):
         verbose=cli.verbose, continue_from=cli.continue_from)
     cfg = cfg.replace(**overrides)
 
+    if cfg.quantize_int8:
+        from end2end_asr_tpu.models.quantize import quantize_for_inference
+        params = quantize_for_inference(params)
+
     test_data = ManifestDataset(list(cfg.test_manifest_list), label2id,
                                 sample_rate=cfg.sample_rate)
     test_loader = AudioBatchLoader(

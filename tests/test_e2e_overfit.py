@@ -105,6 +105,22 @@ def test_overfit_and_greedy_decode(corpus):
         beam_hyps = [strip_specials(s) for s in beam.decode(params, enc_out)]
         assert sorted(beam_hyps) == sorted(golds), (width, beam_hyps, golds)
 
+    # int8 weight-only PTQ (models/quantize.py) must preserve the
+    # memorized transcripts through encode + greedy AND beam decode —
+    # the offline stand-in for CER-neutrality on real data
+    from end2end_asr_tpu.models.quantize import quantize_for_inference
+    qparams = quantize_for_inference(params)
+    q_enc, _ = encode_fn(qparams, state, batch.pcm, batch.n_frames,
+                         spect_T=batch.src_bucket)
+    q_ids = greedy_decode(qparams, q_enc, dims, max_len=16)
+    q_hyps = [strip_specials(s) for s in ids_to_strings(q_ids, id2label)]
+    assert sorted(q_hyps) == sorted(golds), (q_hyps, golds)
+    bcfg = cfg.replace(beam_search=True, beam_width=4, c_weight=0.1)
+    q_beam = [strip_specials(s)
+              for s in BeamDecoder(bcfg, dims, id2label).decode(
+                  qparams, q_enc)]
+    assert sorted(q_beam) == sorted(golds), (q_beam, golds)
+
 
 def test_trainer_epoch_runs_and_checkpoints(corpus, tmp_path):
     manifest, labels_path = corpus

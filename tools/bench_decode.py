@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--frames", type=int, default=800,
                     help="source bucket (800 = flagship; 2400/4000 "
                          "validate the long-bucket decode paths)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="int8 weight-only PTQ (models/quantize.py) "
+                         "before decoding — the --quantize-int8 serving "
+                         "path")
     args = ap.parse_args()
 
     from end2end_asr_tpu.utils.platform import honor_env_platform
@@ -49,6 +53,9 @@ def main():
     params, state = jax.jit(functools.partial(
         init_transformer, cfg=cfg, num_vocab=VOCAB))(jax.random.PRNGKey(0))
     pcm, n_frames, _, _ = _synthetic_batch(cfg, BATCH, T_FRAMES, 8)
+    if args.quantize:
+        from end2end_asr_tpu.models.quantize import quantize_for_inference
+        params = quantize_for_inference(params)
 
     encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
     enc_out, _ = encode_fn(params, state, pcm, n_frames, spect_T=T_FRAMES)
@@ -134,6 +141,7 @@ def main():
     results["audio_seconds_per_batch"] = AUDIO_SECONDS
 
     results["frames"] = T_FRAMES
+    results["quantize_int8"] = bool(args.quantize)
     print(json.dumps(results))
 
 

@@ -157,6 +157,11 @@ def main(argv=None, trainer_cls=Trainer):
             logger.info("data-parallel mesh: %s", mesh)
         check_divisible(cfg.batch_size, mesh, grad_accum=cfg.grad_accum)
 
+    if cfg.quantize_int8:
+        raise SystemExit("--quantize-int8 is eval-only "
+                         "(test.py/transcribe.py); training runs f32 "
+                         "master weights")
+
     if cfg.seq_parallel:
         if mesh is None or cfg.mesh_model <= 1:
             raise SystemExit("--seq-parallel requires --parallel "

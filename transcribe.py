@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--lm-greedy-as-beam", action="store_true",
                     help="upgrade greedy --lm-rescoring to a width-k "
                          "LM-rescored beam (see evaluation.py)")
+    ap.add_argument("--quantize-int8", action="store_true",
+                    help="weight-only int8 PTQ of the encoder/decoder "
+                         "dense weights on load (models/quantize.py)")
     args = ap.parse_args(argv)
 
     from end2end_asr_tpu.data.audio import load_audio
@@ -58,6 +61,9 @@ def main(argv=None):
                       lm_path=args.lm_path, lm_weight=args.lm_weight,
                       c_weight=args.c_weight,
                       lm_greedy_as_beam=args.lm_greedy_as_beam)
+    if args.quantize_int8:
+        from end2end_asr_tpu.models.quantize import quantize_for_inference
+        params = quantize_for_inference(params)
     dims = dims_from_config(cfg)
     encode_fn = make_encode_fn(cfg, dims, from_pcm=True)
 
