@@ -130,8 +130,10 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
                   dim_model: int, emb_trg_sharing: bool = False,
                   dropout_rate: float = 0.1, deterministic: bool = True,
                   rng=None, dtype=jnp.bfloat16,
-                  remat: bool = False) -> jnp.ndarray:
-    """Returns logits (B, U, V)."""
+                  remat: bool = False, pipe_par: bool = False) -> jnp.ndarray:
+    """Returns logits (B, U, V). pipe_par: GPipe pipeline over the layer
+    stack (parallel/pp.py); enc_out and the masks travel with each
+    microbatch."""
     B, U = seq_in.shape
     T_enc = enc_out.shape[1]
 
@@ -165,6 +167,31 @@ def apply_decoder(p: Params, seq_in: jnp.ndarray, enc_out: jnp.ndarray,
         out = L.ffn(lp["ffn"], out, dropout_rate=dropout_rate,
                     deterministic=deterministic, rng=r3, dtype=dtype)
         return out * non_pad
+
+    if pipe_par:
+        from end2end_asr_tpu.parallel import pp
+        if pp.active():
+            keyed = rng is not None
+            lp_list = []
+            for lp in p["layers"]:
+                if keyed:
+                    rng, r1, r2, r3 = jax.random.split(rng, 4)
+                    lp = dict(lp, _r1=r1, _r2=r2, _r3=r3)
+                lp_list.append(lp)
+
+            def lstep(lp_i, a, cs, mb_id):
+                enc_mb, np_mb, sm_mb, cm_mb = cs
+                rs = [(jax.random.fold_in(lp_i[k], mb_id)
+                       if keyed else None)
+                      for k in ("_r1", "_r2", "_r3")]
+                return layer_fn(lp_i, a, enc_mb, np_mb, sm_mb, cm_mb,
+                                *rs)
+
+            out = pp.pipeline_apply(
+                pp.stack_layers(lp_list), out,
+                (enc_out, non_pad, self_mask, cross_mask), lstep,
+                remat=remat)
+            return output_logits(p, out, dtype)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)

@@ -49,7 +49,8 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
                   num_heads: int, dim_key: int, dim_value: int,
                   dropout_rate: float = 0.1, deterministic: bool = True,
                   rng=None, dtype=jnp.bfloat16,
-                  remat: bool = False, seq_par: bool = False) -> jnp.ndarray:
+                  remat: bool = False, seq_par: bool = False,
+                  pipe_par: bool = False) -> jnp.ndarray:
     """x: (B, T, dim_input) post-frontend features; input_lengths: (B,).
 
     Masks follow reference semantics exactly: lengths >= T mask nothing
@@ -60,6 +61,11 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
     axis; mha/ffn gather at their matmul entries. Output is gathered
     back to full so downstream (decoder cross-attn, decode caches) is
     layout-unchanged.
+
+    pipe_par: GPipe pipeline over the layer stack (parallel/pp.py) —
+    layers shard into stages on the 'pipe' mesh axis, microbatches flow
+    through via ppermute. Masks travel with each microbatch; dropout
+    draws per-(layer, microbatch) streams via fold_in.
     """
     B, T, _ = x.shape
     non_pad = L.non_pad_mask_from_lengths(input_lengths, T)  # (B,T,1)
@@ -86,6 +92,33 @@ def apply_encoder(p: Params, x: jnp.ndarray, input_lengths: jnp.ndarray,
                     deterministic=deterministic, rng=r2, dtype=dtype,
                     seq_par=seq_par)
         return out * non_pad
+
+    if pipe_par:
+        from end2end_asr_tpu.parallel import pp
+        if pp.active():
+            # per-layer keys drawn with the SAME split sequence as the
+            # sequential loop, stacked alongside the layer params so each
+            # pipeline stage carries its own; fold_in(mb) decorrelates
+            # microbatches
+            keyed = rng is not None
+            lp_list = []
+            for lp in p["layers"]:
+                if keyed:
+                    rng, r1, r2 = jax.random.split(rng, 3)
+                    lp = dict(lp, _r1=r1, _r2=r2)
+                lp_list.append(lp)
+
+            def lstep(lp_i, a, cs, mb_id):
+                np_mb, mask_mb = cs
+                r1 = (jax.random.fold_in(lp_i["_r1"], mb_id)
+                      if keyed else None)
+                r2 = (jax.random.fold_in(lp_i["_r2"], mb_id)
+                      if keyed else None)
+                return layer_fn(lp_i, a, np_mb, mask_mb, r1, r2)
+
+            return pp.pipeline_apply(pp.stack_layers(lp_list), out,
+                                     (non_pad, self_attn_mask), lstep,
+                                     remat=remat)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())

@@ -37,6 +37,9 @@ class ModelDims(NamedTuple):
     ref_compat_masks: bool
     remat: bool = False
     seq_parallel: bool = False
+    # GPipe pipeline over the encoder/decoder layer stacks
+    # (parallel/pp.py; active only when pp.install'd with a 'pipe' mesh)
+    pipeline: bool = False
 
 
 def dims_from_config(cfg: Config) -> ModelDims:
@@ -46,7 +49,8 @@ def dims_from_config(cfg: Config) -> ModelDims:
         dropout=cfg.dropout, feat_extractor=cfg.feat_extractor,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
         ref_compat_masks=cfg.ref_compat_masks, remat=cfg.remat,
-        seq_parallel=cfg.seq_parallel)
+        seq_parallel=cfg.seq_parallel,
+        pipeline=getattr(cfg, "mesh_pipe", 1) > 1)
 
 
 def init_transformer(key, cfg: Config, num_vocab: int) -> Tuple[Params, Params]:
@@ -112,7 +116,7 @@ def encode(params: Params, state: Params, spect: jnp.ndarray,
         dims.num_heads, dims.dim_key, dims.dim_value,
         dropout_rate=dims.dropout, deterministic=not train,
         rng=sub, dtype=dims.dtype, remat=dims.remat and train,
-        seq_par=dims.seq_parallel)
+        seq_par=dims.seq_parallel, pipe_par=dims.pipeline)
     new_state = dict(state or {})
     if new_fe_state is not None and new_fe_state != {}:
         new_state["frontend"] = new_fe_state
@@ -139,7 +143,7 @@ def forward(params: Params, state: Params, spect: jnp.ndarray,
         dims.num_heads, dims.dim_key, dims.dim_value, dims.dim_model,
         emb_trg_sharing=dims.emb_trg_sharing, dropout_rate=dims.dropout,
         deterministic=not train, rng=r_dec, dtype=dims.dtype,
-        remat=dims.remat and train)
+        remat=dims.remat and train, pipe_par=dims.pipeline)
     return pred, seq_out, new_state
 
 
