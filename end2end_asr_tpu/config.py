@@ -183,6 +183,24 @@ class Config:
     # activation memory in those segments). Numerics identical up to fp
     # reduction order. False = plain TP.
     seq_parallel: bool = False
+    # pipeline parallelism (parallel/pp.py): devices on a 'pipe' mesh
+    # axis; the encoder/decoder layer stacks split into mesh_pipe equal
+    # stages and each batch flows through them as GPipe microbatches
+    # (shard_map + ppermute, forward AND backward pipelined by
+    # autodiff). Composes with mesh_data and mesh_model (TP inside each
+    # stage). num_layers must divide evenly. 1 = off.
+    mesh_pipe: int = 1
+    # microbatches per batch for the pipeline schedule (0 = mesh_pipe);
+    # more microbatches shrink the (S-1)/(M+S-1) bubble but each must
+    # divide batch_size
+    pipe_microbatches: int = 0
+    # ZeRO-1 optimizer-state sharding (parallel/zero.py): Adam moments
+    # (SGD momentum buffers) lay out sharded over the 'data' mesh axis —
+    # 2/3 of the optimizer memory drops to 1/N per device at
+    # data-parallel degree N; GSPMD partitions the update and
+    # all-gathers the parameter delta. Composes with mesh_model and
+    # mesh_pipe. Numerics identical up to XLA reduction scheduling.
+    zero1: bool = False
     # weight-only int8 post-training quantization at EVAL time
     # (test.py/transcribe.py; models/quantize.py): encoder/decoder dense
     # weights load as int8 + per-channel scales, 4× less decode-step
@@ -398,11 +416,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices on the tensor-parallel 'model' mesh axis "
                         "(attention/FFN weights shard Megatron-style; "
                         "1 = data parallelism only)")
+    p.add_argument("--mesh-pipe", default=1, type=int,
+                   help="devices on the pipeline 'pipe' mesh axis: the "
+                        "encoder/decoder layer stacks split into this "
+                        "many GPipe stages (parallel/pp.py; 1 = off)")
+    p.add_argument("--pipe-microbatches", default=0, type=int,
+                   help="microbatches per batch for --mesh-pipe "
+                        "(0 = stage count; more shrinks the bubble)")
     p.add_argument("--seq-parallel", action="store_true",
                    help="with --mesh-model N: also shard the encoder "
                         "time axis across the 'model' axis between the "
                         "TP matmuls (Megatron-SP; reduce-scatter + "
                         "all-gather replace the all-reduces)")
+    p.add_argument("--zero1", action="store_true",
+                   help="ZeRO-1: shard Adam moments over the 'data' "
+                        "mesh axis (parallel/zero.py; optimizer memory "
+                        "scales down with data-parallel degree)")
     p.add_argument("--quantize-int8", action="store_true",
                    help="eval-only: weight-only int8 PTQ of the "
                         "encoder/decoder dense weights on load "

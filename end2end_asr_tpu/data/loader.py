@@ -62,6 +62,10 @@ class Batch:
     tgt_lengths: np.ndarray            # (B,)
     src_percentages: np.ndarray        # (B,) frames / bucket (parity)
     utt_seconds: float                 # summed audio seconds (throughput)
+    # rows [0:real_rows) are real; the tail (if any) is cycled padding
+    # added so ragged final bins stay divisible by the device mesh
+    # (pad_to_full below). -1 = all rows real.
+    real_rows: int = -1
 
 
 def pick_bucket(value: int, ladder: Sequence[int]) -> int:
@@ -84,8 +88,9 @@ class AudioBatchLoader:
                  process_count: int = 1):
         self.dataset = dataset
         self.cfg = cfg
+        self._batch_size = batch_size or cfg.batch_size
         self.sampler = sampler or BucketingSampler(
-            len(dataset), batch_size or cfg.batch_size, seed=seed)
+            len(dataset), self._batch_size, seed=seed)
         self.host_features = host_features
         self.epoch = 0
         self._seed = seed
@@ -95,6 +100,18 @@ class AudioBatchLoader:
         self.num_workers = (cfg.num_workers if num_workers is None
                             else num_workers)
         self._pool = None
+        # Under a device mesh, a ragged final bin (len(dataset) %
+        # batch_size) cannot shard on the 'data' axis unless the
+        # remainder happens to divide it — device_put rejects the batch.
+        # pad_to_full=True cycles the bin's rows up to the full batch
+        # size (the same convention as the multi-host slice padding
+        # below); Batch.real_rows marks the real prefix so CER/WER
+        # accumulation skips the duplicates. Loss/grads for that one
+        # batch per epoch include the duplicated rows (documented
+        # deviation — the reference's DataParallel scatters the ragged
+        # batch instead). Bonus: batch shapes stay static, so the
+        # ragged shape never compiles a second XLA program.
+        self.pad_to_full = False
         # multi-host SPMD: every process runs the SAME sampler (same seed)
         # but decodes only its 1/process_count slice of each bin; bucket
         # shapes are derived from WAV headers + transcripts of the FULL
@@ -170,6 +187,12 @@ class AudioBatchLoader:
         cfg = self.cfg
         n_fft, hop = cfg.n_fft, cfg.hop_length
 
+        real_rows = len(bin_ids)
+        full = self._batch_size
+        if (self.pad_to_full and self.process_count == 1
+                and 0 < real_rows < full):
+            bin_ids = [bin_ids[k % real_rows] for k in range(full)]
+
         forced_buckets = None
         if self.process_count > 1:
             forced_buckets = self._global_buckets(bin_ids)
@@ -181,6 +204,9 @@ class AudioBatchLoader:
                       for k in range(per * self.process_count)]
             lo = self.process_index * per
             bin_ids = padded[lo:lo + per]
+            # the real/cycled distinction is global here (duplicates land
+            # on arbitrary processes) — local trimming can't apply
+            real_rows = -1
 
         items = self._get_items(bin_ids, rng)
         pcms = [it[0] for it in items]
@@ -221,7 +247,7 @@ class AudioBatchLoader:
                          src_bucket=T_b, targets=targets,
                          tgt_lengths=tgt_lengths,
                          src_percentages=frames / float(T_b),
-                         utt_seconds=utt_seconds)
+                         utt_seconds=utt_seconds, real_rows=real_rows)
 
         # device-feature path: reflect-pad PCM rows on host, heavy math on TPU
         n_pcm = (T_b - 1) * hop  # samples that yield exactly T_b frames
@@ -241,7 +267,7 @@ class AudioBatchLoader:
         return Batch(pcm=pcm, spect=None, n_frames=frames, src_bucket=T_b,
                      targets=targets, tgt_lengths=tgt_lengths,
                      src_percentages=frames / float(T_b),
-                     utt_seconds=utt_seconds)
+                     utt_seconds=utt_seconds, real_rows=real_rows)
 
 
 class Prefetcher:

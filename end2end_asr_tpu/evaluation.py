@@ -104,6 +104,11 @@ def evaluate(params, model_state, cfg: Config, test_loader,
                 stage_len=cfg.decode_stage_len or max_len)
             hyps = ids_to_strings(ids, id2label)
 
+        if batch.real_rows > 0:
+            # drop the loader's cycled-padding rows (mesh divisibility,
+            # loader.pad_to_full) from the scored set
+            hyps, golds = hyps[:batch.real_rows], golds[:batch.real_rows]
+
         for hyp_raw, gold_raw in zip(hyps, golds):
             hyp, gold = _strip(hyp_raw), _strip(gold_raw)
             if verbose:

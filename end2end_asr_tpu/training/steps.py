@@ -199,6 +199,15 @@ def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
         new_opt = pick(upd_opt, opt_state)
         lr = jnp.where(finite, upd_lr, skip_lr)
 
+        if getattr(cfg, "zero1", False):
+            # ZeRO-1 (parallel/zero.py): pin the new moments to their
+            # 'data'-sharded layout so the donated opt buffers alias
+            # and GSPMD partitions the Adam update instead of
+            # replicating it
+            from end2end_asr_tpu.parallel import zero
+            if zero.active():
+                new_opt = zero.constrain_opt(new_opt, params)
+
         if accum > 1:
             hyp_seq = hyp_seq_acc
             num_correct, num_token = ncorr_acc, ntok_acc
@@ -237,6 +246,15 @@ def _memo(kind: str, cfg: Config, dims: ModelDims, from_pcm: bool, build):
             # built for the old one.
             from end2end_asr_tpu.parallel import sp
             key += (id(sp._MESH),)
+        if getattr(cfg, "mesh_pipe", 1) > 1:
+            # same for the pipeline mesh + microbatch count
+            # (parallel/pp.py module state)
+            from end2end_asr_tpu.parallel import pp
+            key += (id(pp._MESH), pp._N_MICRO)
+        if getattr(cfg, "zero1", False):
+            # same for the ZeRO-1 mesh (parallel/zero.py module state)
+            from end2end_asr_tpu.parallel import zero
+            key += (id(zero._MESH),)
         hash(key)
     except TypeError:
         return build()

@@ -101,9 +101,15 @@ class Trainer:
         on the 'model' axis of a 2-D mesh (parallel/tp.py)."""
         if self.mesh is None:
             return params, opt_state, model_state
+        from end2end_asr_tpu.parallel import zero
         from end2end_asr_tpu.parallel.tp import (mesh_model_size,
                                                  shard_opt_state,
                                                  shard_params)
+        if zero.active():
+            # ZeRO-1: moments shard over 'data' (+ any TP axes)
+            return (shard_params(self.mesh, params),
+                    zero.shard_opt_state(self.mesh, opt_state, params),
+                    self._replicate(model_state))
         if mesh_model_size(self.mesh) <= 1:
             return (self._replicate(params), self._replicate(opt_state),
                     self._replicate(model_state))
@@ -213,7 +219,8 @@ class Trainer:
                     meter.stop(n_utts, secs)
                     meter.start()
                     if idx % self.metrics_every == 0:
-                        self._accumulate_cer(hyp_seq, gold_seq, totals)
+                        self._accumulate_cer(hyp_seq[:n_utts],
+                                             gold_seq[:n_utts], totals)
                     if idx % 20 == 0:
                         logger.info(
                             "(Epoch %d) it %d TRAIN LOSS:%.4f CER:%.2f%% "
@@ -303,9 +310,13 @@ class Trainer:
                     arr, n_frames, targets, tgt_lengths = self._put_batch(
                         arr, batch.n_frames, batch.targets,
                         batch.tgt_lengths)
+                    # real (non-cycled-padding) rows — trims duplicate
+                    # rows out of CER/throughput when the loader padded a
+                    # ragged final bin for the mesh (loader.pad_to_full)
+                    rr = (batch.real_rows if batch.real_rows > 0
+                          else batch.targets.shape[0])
                     entry = (i, sub, arr, n_frames, targets, tgt_lengths,
-                             batch.src_bucket, batch.targets.shape[0],
-                             batch.utt_seconds)
+                             batch.src_bucket, rr, batch.utt_seconds)
                     if steps_k > 1:
                         key = (batch.src_bucket, tuple(np.shape(arr)),
                                tuple(np.shape(targets)))
@@ -346,14 +357,16 @@ class Trainer:
                 vpend: List = []
 
                 def vdrain(entry):
-                    loss, hyp_seq, gold_seq = jax.device_get(entry)
+                    rr, dev = entry
+                    loss, hyp_seq, gold_seq = jax.device_get(dev)
                     loss = float(loss)
                     if not np.isfinite(loss):
                         logger.info("Found infinity loss, masking")
                         return
                     vtot["loss"] += loss
                     vtot["batches"] += 1
-                    self._accumulate_cer(hyp_seq, gold_seq, vtot)
+                    self._accumulate_cer(hyp_seq[:rr], gold_seq[:rr],
+                                         vtot)
 
                 for batch in valid_loader:
                     from_pcm, arr = self._batch_arrays(batch)
@@ -362,10 +375,12 @@ class Trainer:
                     arr, n_frames, targets, tgt_lengths = self._put_batch(
                         arr, batch.n_frames, batch.targets,
                         batch.tgt_lengths)
-                    vpend.append(eval_step(
+                    vrr = (batch.real_rows if batch.real_rows > 0
+                           else batch.targets.shape[0])
+                    vpend.append((vrr, eval_step(
                         params, model_state, arr, n_frames,
                         targets, tgt_lengths,
-                        spect_T=batch.src_bucket))
+                        spect_T=batch.src_bucket)))
                     if len(vpend) > 2:
                         vdrain(vpend.pop(0))
                 for entry in vpend:

@@ -83,6 +83,9 @@ def main(argv=None):
         else:
             mesh = make_mesh(cli.mesh_data)
         check_divisible(cfg.batch_size, mesh)
+        # ragged final bins can't shard on 'data' — pad by cycling;
+        # evaluate() trims the duplicates via Batch.real_rows
+        test_loader.pad_to_full = True
 
     if getattr(cfg, "seq_parallel", False) and mesh is not None \
             and cli.mesh_model > 1:

@@ -66,3 +66,37 @@ def test_host_features_path(tmp_path):
         s = b.spect[i]
         assert abs(float(s.mean())) < 0.05
         assert 0.8 < float(s.std()) < 1.2
+
+
+def test_pad_to_full_pads_ragged_final_bin(tmp_path):
+    """Under a device mesh, ragged final bins (len(dataset) %
+    batch_size) can't shard on the 'data' axis — pad_to_full cycles
+    rows up to the full batch and marks the real prefix in
+    Batch.real_rows (train.py/test.py set it whenever a mesh is on)."""
+    manifest, labels = make_corpus(str(tmp_path), exact_samples=63 * 160)
+    from end2end_asr_tpu.config import load_vocab
+    label2id, _ = load_vocab(labels)
+    # 4 utterances, batch 3 -> bins of 3 and 1
+    cfg = Config(batch_size=3, src_buckets=(64,), tgt_buckets=(16,),
+                 src_max_len=64, tgt_max_len=16)
+    ds = ManifestDataset([manifest], label2id)
+
+    loader = AudioBatchLoader(ds, cfg)
+    ragged = list(loader)
+    assert [b.targets.shape[0] for b in ragged] == [3, 1]
+    assert all(b.real_rows in (-1, b.targets.shape[0]) or
+               b.real_rows == b.targets.shape[0] for b in ragged)
+
+    loader2 = AudioBatchLoader(ds, cfg)
+    loader2.pad_to_full = True
+    padded = list(loader2)
+    assert [b.targets.shape[0] for b in padded] == [3, 3]
+    assert padded[0].real_rows == 3
+    assert padded[1].real_rows == 1
+    # the padding rows are cycled copies of the real ones
+    b = padded[1]
+    np.testing.assert_array_equal(b.targets[1], b.targets[0])
+    np.testing.assert_array_equal(b.targets[2], b.targets[0])
+    np.testing.assert_array_equal(b.pcm[1], b.pcm[0])
+    # full bins are untouched
+    np.testing.assert_array_equal(padded[0].targets, ragged[0].targets)

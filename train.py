@@ -146,7 +146,25 @@ def main(argv=None, trainer_cls=Trainer):
 
     mesh = None
     if cfg.parallel:
-        if cfg.mesh_model > 1:
+        if cfg.mesh_pipe > 1:
+            from end2end_asr_tpu.parallel import pp
+            from end2end_asr_tpu.parallel.tp import check_tp_divisibility
+            pp.check_pp_divisibility(cfg, cfg.mesh_pipe)
+            check_tp_divisibility(cfg, cfg.mesh_model)
+            mesh = pp.make_mesh_pipe(cfg.mesh_pipe, cfg.mesh_model,
+                                     cfg.mesh_data)
+            n_micro = cfg.pipe_microbatches or cfg.mesh_pipe
+            per_dev = cfg.batch_size // mesh.shape["data"]
+            if (per_dev // max(1, cfg.grad_accum)) % n_micro != 0:
+                raise SystemExit(
+                    f"--pipe-microbatches {n_micro} must divide the "
+                    f"per-device microbatch "
+                    f"{per_dev}//{max(1, cfg.grad_accum)} (interleaved "
+                    f"split stays batch-sharded only then)")
+            pp.install(mesh, n_micro)
+            logger.info("pipeline mesh: %s (%d microbatches)", mesh,
+                        n_micro)
+        elif cfg.mesh_model > 1:
             from end2end_asr_tpu.parallel.tp import (check_tp_divisibility,
                                                      make_mesh_2d)
             check_tp_divisibility(cfg, cfg.mesh_model)
@@ -156,6 +174,14 @@ def main(argv=None, trainer_cls=Trainer):
             mesh = make_mesh(cfg.mesh_data)
             logger.info("data-parallel mesh: %s", mesh)
         check_divisible(cfg.batch_size, mesh, grad_accum=cfg.grad_accum)
+        # ragged final bins (len(dataset) % batch_size) can't shard on
+        # the 'data' axis — pad them to the full batch by cycling rows
+        # (Batch.real_rows marks the real prefix; metrics trim it)
+        train_loader.pad_to_full = True
+        for vl in valid_loader_list:
+            vl.pad_to_full = True
+    elif cfg.mesh_pipe > 1:
+        raise SystemExit("--mesh-pipe requires --parallel")
 
     if cfg.quantize_int8:
         raise SystemExit("--quantize-int8 is eval-only "
@@ -167,10 +193,28 @@ def main(argv=None, trainer_cls=Trainer):
             raise SystemExit("--seq-parallel requires --parallel "
                              "--mesh-model N (N > 1): it shards the "
                              "encoder time axis across the 'model' axis")
+        if cfg.mesh_pipe > 1:
+            raise SystemExit(
+                "--seq-parallel does not compose with --mesh-pipe: the "
+                "pipeline's microbatch activations are already 1/M "
+                "size, and SP's time-axis constraints inside the "
+                "pipelined region are untested — pick one")
         from end2end_asr_tpu.parallel import sp
         sp.install(mesh)
         logger.info("sequence parallelism ON (encoder T sharded over "
                     "%d-way 'model' axis)", cfg.mesh_model)
+
+    if cfg.zero1:
+        if mesh is None:
+            raise SystemExit("--zero1 requires --parallel: it shards "
+                             "the Adam moments over the 'data' mesh "
+                             "axis")
+        from end2end_asr_tpu.parallel import zero
+        zero.install(mesh)
+        logger.info("ZeRO-1 ON: %.0f%% of optimizer-moment elements "
+                    "shard over the %d-way 'data' axis",
+                    100 * zero.coverage(params, mesh),
+                    mesh.shape["data"])
 
     trainer = trainer_cls(cfg, label2id, id2label,
                           metrics_every=cfg.metrics_every)
