@@ -201,6 +201,12 @@ class Config:
     # all-gathers the parameter delta. Composes with mesh_model and
     # mesh_pipe. Numerics identical up to XLA reduction scheduling.
     zero1: bool = False
+    # ZeRO-3 / FSDP (parallel/zero.py stage 3): parameters ALSO lay out
+    # sharded over 'data' (the Pallas-consumed conv frontend stays
+    # replicated); GSPMD all-gathers each weight at its use sites and
+    # reduce-scatters its gradient. Param+grad+optimizer memory all
+    # scale down with data-parallel degree. Implies moment sharding.
+    fsdp: bool = False
     # weight-only int8 post-training quantization at EVAL time
     # (test.py/transcribe.py; models/quantize.py): encoder/decoder dense
     # weights load as int8 + per-channel scales, 4× less decode-step
@@ -432,6 +438,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ZeRO-1: shard Adam moments over the 'data' "
                         "mesh axis (parallel/zero.py; optimizer memory "
                         "scales down with data-parallel degree)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3/FSDP: additionally shard the parameters "
+                        "over 'data' (GSPMD all-gathers weights at use, "
+                        "reduce-scatters grads); implies --zero1")
     p.add_argument("--quantize-int8", action="store_true",
                    help="eval-only: weight-only int8 PTQ of the "
                         "encoder/decoder dense weights on load "

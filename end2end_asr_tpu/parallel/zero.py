@@ -1,5 +1,6 @@
-"""ZeRO-1 optimizer-state sharding: Adam moments (and the SGD momentum
-buffer) shard across the 'data' mesh axis.
+"""ZeRO sharding over the 'data' mesh axis: stage 1 (--zero1) shards
+the optimizer moments; stage 3 (--fsdp) additionally shards the
+parameters (grads follow by GSPMD propagation — FSDP).
 
 Beyond the reference's capability envelope (its only parallelism is
 single-process nn.DataParallel — train.py:97-99, SURVEY.md §2.3; its
@@ -48,24 +49,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from end2end_asr_tpu.parallel.tp import mesh_model_size, param_pspecs
 
 _MESH: Optional[Mesh] = None
+_STAGE: int = 0  # 0 = off, 1 = moments sharded, 3 = + params/grads (FSDP)
 
 # optimizer-state keys whose leaves mirror the param tree (Adam moments,
 # SGD momentum buffer) — everything else (step, lr scalars) replicates
 _MOMENT_KEYS = ("mu", "nu", "buf")
 
+# param subtrees that must stay replicated under FSDP: the conv frontend
+# feeds the Pallas kernels, whose custom_partitioning rules
+# (ops/partition.py) declare batch-sharded activations + REPLICATED
+# weights — sharding these leaves would break the partition contracts.
+# They are a few % of the params (vgg: ~260K of the AiShell model's ~20M).
+_FSDP_REPLICATED_SUBTREES = ("frontend",)
 
-def install(mesh: Optional[Mesh]) -> None:
-    """Enable ZeRO-1 moment sharding on this mesh (None = disable).
-    Call before tracing any jitted step with cfg.zero1."""
-    global _MESH
+
+def install(mesh: Optional[Mesh], stage: int = 1) -> None:
+    """Enable ZeRO sharding on this mesh (None = disable). stage=1
+    shards only the optimizer moments (--zero1); stage=3 additionally
+    lays the parameters out sharded over 'data' (--fsdp; grads follow
+    by GSPMD propagation). Call before tracing any jitted step."""
+    global _MESH, _STAGE
     if mesh is not None and "data" not in mesh.axis_names:
-        raise ValueError(f"--zero1 needs a 'data' mesh axis, got "
+        raise ValueError(f"--zero1/--fsdp need a 'data' mesh axis, got "
                          f"{mesh.axis_names}")
+    if stage not in (1, 3):
+        raise ValueError(f"ZeRO stage must be 1 or 3, got {stage}")
     _MESH = mesh
+    _STAGE = stage if mesh is not None else 0
 
 
 def active() -> bool:
     return _MESH is not None
+
+
+def stage() -> int:
+    return _STAGE
 
 
 def _add_data_axis(spec: P, shape, n_data: int) -> P:
@@ -111,6 +129,48 @@ def coverage(params, mesh: Mesh) -> float:
         if "data" in tuple(s):
             covered += n
     return covered / max(1, tot)
+
+
+def fsdp_pspecs(params, mesh: Mesh):
+    """PartitionSpecs for the PARAMETERS under ZeRO-3/FSDP: same
+    'data'-on-largest-free-dim rule as the moments (composing with any
+    TP axes), except the Pallas-consumed subtrees
+    (_FSDP_REPLICATED_SUBTREES) stay replicated. GSPMD all-gathers each
+    weight at its use sites and reduce-scatters its gradient — the
+    classic weight-gathered FSDP schedule, from layout annotations
+    alone."""
+    n_data = mesh.shape.get("data", 1)
+    n_model = mesh_model_size(mesh)
+    base = param_pspecs(params, n_model)
+
+    def leaf_spec(path, leaf, s):
+        keys = [getattr(k, "key", None) for k in path]
+        if keys and keys[0] in _FSDP_REPLICATED_SUBTREES:
+            return s  # keep the base (TP/replicated) layout
+        return _add_data_axis(s, np.shape(leaf), n_data)
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, params, base)
+
+
+def shard_params_fsdp(mesh: Mesh, params):
+    """device_put the param tree with FSDP layouts (stage 3)."""
+    specs = fsdp_pspecs(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def constrain_params(new_params, mesh: Optional[Mesh] = None):
+    """Inside-jit (stage 3): pin the updated params to the FSDP layout
+    so the donated buffers alias and the weights stay sharded between
+    steps."""
+    mesh = mesh if mesh is not None else _MESH
+    if mesh is None or _STAGE < 3:
+        return new_params
+    specs = fsdp_pspecs(new_params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, s)), new_params, specs)
 
 
 def shard_opt_state(mesh: Mesh, opt_state, params):

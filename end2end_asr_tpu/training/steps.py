@@ -199,14 +199,15 @@ def make_train_step_impl(cfg: Config, dims: ModelDims, from_pcm: bool):
         new_opt = pick(upd_opt, opt_state)
         lr = jnp.where(finite, upd_lr, skip_lr)
 
-        if getattr(cfg, "zero1", False):
-            # ZeRO-1 (parallel/zero.py): pin the new moments to their
-            # 'data'-sharded layout so the donated opt buffers alias
-            # and GSPMD partitions the Adam update instead of
-            # replicating it
+        if getattr(cfg, "zero1", False) or getattr(cfg, "fsdp", False):
+            # ZeRO (parallel/zero.py): pin the new moments (and, at
+            # stage 3/FSDP, the new params) to their 'data'-sharded
+            # layouts so the donated buffers alias and GSPMD partitions
+            # the Adam update instead of replicating it
             from end2end_asr_tpu.parallel import zero
             if zero.active():
                 new_opt = zero.constrain_opt(new_opt, params)
+                new_params = zero.constrain_params(new_params)
 
         if accum > 1:
             hyp_seq = hyp_seq_acc
@@ -251,10 +252,10 @@ def _memo(kind: str, cfg: Config, dims: ModelDims, from_pcm: bool, build):
             # (parallel/pp.py module state)
             from end2end_asr_tpu.parallel import pp
             key += (id(pp._MESH), pp._N_MICRO)
-        if getattr(cfg, "zero1", False):
-            # same for the ZeRO-1 mesh (parallel/zero.py module state)
+        if getattr(cfg, "zero1", False) or getattr(cfg, "fsdp", False):
+            # same for the ZeRO mesh + stage (parallel/zero.py state)
             from end2end_asr_tpu.parallel import zero
-            key += (id(zero._MESH),)
+            key += (id(zero._MESH), zero._STAGE)
         hash(key)
     except TypeError:
         return build()

@@ -106,8 +106,11 @@ class Trainer:
                                                  shard_opt_state,
                                                  shard_params)
         if zero.active():
-            # ZeRO-1: moments shard over 'data' (+ any TP axes)
-            return (shard_params(self.mesh, params),
+            # ZeRO: moments shard over 'data' (+ any TP axes); at
+            # stage 3 (FSDP) the params do too
+            place_p = (zero.shard_params_fsdp if zero.stage() >= 3
+                       else shard_params)
+            return (place_p(self.mesh, params),
                     zero.shard_opt_state(self.mesh, opt_state, params),
                     self._replicate(model_state))
         if mesh_model_size(self.mesh) <= 1:

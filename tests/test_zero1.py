@@ -193,3 +193,72 @@ def test_trainer_place_model_uses_zero_layout():
             assert all(x is None for x in leaf.sharding.spec)
     finally:
         zero.install(None)
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-3 / FSDP (stage 3): params shard over 'data' too
+# ---------------------------------------------------------------------------
+
+def test_fsdp_pspecs_shard_params_but_not_frontend():
+    from jax.sharding import PartitionSpec as P
+    cfg_vgg = CFG.replace(feat_extractor="vgg_cnn", dim_input=161,
+                          src_max_len=256)
+    params, _ = jax.jit(functools.partial(
+        init_transformer, cfg=cfg_vgg, num_vocab=V))(jax.random.PRNGKey(0))
+    mesh = make_mesh(0)
+    specs = zero.fsdp_pspecs(params, mesh)
+    # encoder/decoder weights shard over 'data'
+    assert "data" in tuple(specs["encoder"]["layers"][0]["ffn"]["w1"]["w"])
+    # the Pallas-consumed conv frontend stays replicated
+    for s in jax.tree_util.tree_leaves(
+            specs["frontend"], is_leaf=lambda x: isinstance(x, P)):
+        assert "data" not in tuple(s)
+
+
+def _param_sharded_leaves(params):
+    n = 0
+    for leaf in jax.tree_util.tree_leaves(params):
+        sh = leaf.sharding
+        if isinstance(sh, NamedSharding) and "data" in \
+                jax.tree_util.tree_leaves(tuple(sh.spec)):
+            n += 1
+    return n
+
+
+def test_fsdp_train_step_matches_unsharded():
+    mesh = make_mesh(0)
+    cfg = CFG.replace(fsdp=True)
+    dims = dims_from_config(cfg)
+    spect, nf, tg, tl = _batch(16)
+    rng = jax.random.PRNGKey(5)
+
+    params, state = _init()
+    opt = init_adam_state(params)
+    step0 = make_train_step(CFG, dims, from_pcm=False)
+    p1, o1, s1, m1, hyp1, _ = step0(params, opt, state, rng, spect, nf,
+                                    tg, tl, spect_T=64)
+
+    zero.install(mesh, stage=3)
+    try:
+        params_b, state_b = _init()
+        params2 = zero.shard_params_fsdp(mesh, params_b)
+        n_sharded = _param_sharded_leaves(params2)
+        assert n_sharded > 0
+        opt2 = zero.shard_opt_state(mesh, init_adam_state(params_b),
+                                    params_b)
+        put = lambda a: jax.device_put(a, batch_sharded(mesh, np.ndim(a)))
+        step = make_train_step(cfg, dims, from_pcm=False)
+        p2, o2, s2, m2, hyp2, _ = step(params2, opt2, state_b, rng,
+                                       put(spect), put(nf), put(tg),
+                                       put(tl), spect_T=64)
+    finally:
+        zero.install(None)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-5
+    np.testing.assert_array_equal(np.asarray(hyp1), np.asarray(hyp2))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=5e-5)
+    # updated params keep the FSDP layout (donation round-trips)
+    assert _param_sharded_leaves(p2) == n_sharded

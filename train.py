@@ -204,17 +204,19 @@ def main(argv=None, trainer_cls=Trainer):
         logger.info("sequence parallelism ON (encoder T sharded over "
                     "%d-way 'model' axis)", cfg.mesh_model)
 
-    if cfg.zero1:
+    if cfg.zero1 or cfg.fsdp:
         if mesh is None:
-            raise SystemExit("--zero1 requires --parallel: it shards "
-                             "the Adam moments over the 'data' mesh "
-                             "axis")
+            raise SystemExit("--zero1/--fsdp require --parallel: they "
+                             "shard optimizer moments (and, for --fsdp, "
+                             "parameters) over the 'data' mesh axis")
         from end2end_asr_tpu.parallel import zero
-        zero.install(mesh)
-        logger.info("ZeRO-1 ON: %.0f%% of optimizer-moment elements "
-                    "shard over the %d-way 'data' axis",
+        zero.install(mesh, stage=3 if cfg.fsdp else 1)
+        logger.info("ZeRO-%d ON: %.0f%% of optimizer-moment elements "
+                    "shard over the %d-way 'data' axis%s",
+                    3 if cfg.fsdp else 1,
                     100 * zero.coverage(params, mesh),
-                    mesh.shape["data"])
+                    mesh.shape["data"],
+                    " (+ params, FSDP)" if cfg.fsdp else "")
 
     trainer = trainer_cls(cfg, label2id, id2label,
                           metrics_every=cfg.metrics_every)
