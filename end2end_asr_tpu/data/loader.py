@@ -196,6 +196,13 @@ class AudioBatchLoader:
         forced_buckets = None
         if self.process_count > 1:
             forced_buckets = self._global_buckets(bin_ids)
+            # pad_to_full under multi-host: cycle the ragged bin up to
+            # the FULL global batch before slicing, so every process
+            # holds batch_size/process_count rows and the 'data'-axis
+            # device_put never sees a ragged shard (ADVICE r4 — the flag
+            # was silently process-count-divisibility-only here)
+            if (self.pad_to_full and 0 < len(bin_ids) < full):
+                bin_ids = [bin_ids[k % len(bin_ids)] for k in range(full)]
             per = (len(bin_ids) + self.process_count - 1) \
                 // self.process_count
             # pad ragged tails by cycling so every process holds `per`
@@ -232,7 +239,13 @@ class AudioBatchLoader:
             targets[i, :len(t)] = t
             tgt_lengths[i] = len(t)
 
-        utt_seconds = sum(len(y) for y in pcms) / cfg.sample_rate
+        # throughput accounting counts REAL audio only: with pad_to_full
+        # the cycled duplicate rows (indices >= real_rows) do consume
+        # compute, but the meter divides by real utterances, so summing
+        # the padded bin's seconds would skew utt/s and RTF low for that
+        # one batch per epoch (ADVICE r4). real_rows == -1 means all real.
+        n_real = real_rows if 0 < real_rows else len(pcms)
+        utt_seconds = sum(len(y) for y in pcms[:n_real]) / cfg.sample_rate
 
         if self.host_features:
             F = cfg.n_freq

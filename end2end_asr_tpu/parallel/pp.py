@@ -57,18 +57,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 _MESH: Optional[Mesh] = None
 _N_MICRO: int = 0
+# install generation for the jitted-step memo key (see parallel/sp.py)
+_GEN: int = 0
 
 
 def install(mesh: Optional[Mesh], n_micro: int = 0) -> None:
     """Enable pipelining on this mesh (None = disable). n_micro = 0
     defaults to the stage count. Call before tracing any jitted step
     with cfg.mesh_pipe > 1."""
-    global _MESH, _N_MICRO
+    global _MESH, _N_MICRO, _GEN
     if mesh is not None and "pipe" not in mesh.axis_names:
         raise ValueError(f"pipeline parallelism needs a 'pipe' mesh axis, "
                          f"got {mesh.axis_names}")
     _MESH = mesh
     _N_MICRO = int(n_micro)
+    _GEN += 1
 
 
 def active() -> bool:
@@ -177,9 +180,8 @@ def pipeline_apply(stacked_lp, act: jnp.ndarray, consts: Tuple,
     def body(lp_local, act_mb, consts_mb):
         # lp_local: leaves (L_local, ...); act_mb: (M, B/M, ...)
         idx = jax.lax.axis_index("pipe")
-        zero = lambda a: jax.lax.pcast(
-            jnp.zeros_like(a[0]), ("pipe",), to="varying")
-        state = (zero(act_mb),) + tuple(zero(c) for c in consts_mb)
+        state = jax.lax.pcast(jnp.zeros_like(act_mb[0]), ("pipe",),
+                              to="varying")
         outs = jax.lax.pcast(jnp.zeros_like(act_mb), ("pipe",),
                              to="varying")
 
@@ -188,14 +190,16 @@ def pipeline_apply(stacked_lp, act: jnp.ndarray, consts: Tuple,
         def tick(carry, t):
             state, outs = carry
             mb_in = jnp.clip(t, 0, M - 1)
-            inject = ((act_mb[mb_in],)
-                      + tuple(c[mb_in] for c in consts_mb))
-            cur = jax.tree_util.tree_map(
-                lambda i, s: jnp.where(idx == 0, i, s), inject, state)
-            a, cs = cur[0], cur[1:]
+            a = jnp.where(idx == 0, act_mb[mb_in], state)
             # this stage is working on microbatch t - idx (garbage
-            # during fill/drain ticks; those outputs are never emitted)
+            # during fill/drain ticks; those outputs are never emitted).
+            # consts enter the region replicated over 'pipe' (in_spec
+            # P()), so each stage indexes its microbatch's consts
+            # LOCALLY — only the activation rides ppermute (carrying the
+            # consts too would shuttle enc_out + masks over ICI
+            # S*(M+S-1) times for no correctness benefit, ADVICE r4).
             mb_id = jnp.clip(t - idx, 0, M - 1)
+            cs = tuple(c[mb_id] for c in consts_mb)
             for i in range(L_local):
                 lp_i = jax.tree_util.tree_map(lambda x: x[i], lp_local)
                 a = layer_step(lp_i, a, cs, mb_id)
@@ -204,9 +208,7 @@ def pipeline_apply(stacked_lp, act: jnp.ndarray, consts: Tuple,
             upd = jax.lax.dynamic_update_index_in_dim(
                 outs, a, jnp.clip(out_mb, 0, M - 1), 0)
             outs = jnp.where(write, upd, outs)
-            new_state = jax.tree_util.tree_map(
-                lambda x: jax.lax.ppermute(x, "pipe", perm),
-                (a,) + tuple(cs))
+            new_state = jax.lax.ppermute(a, "pipe", perm)
             return (new_state, outs), None
 
         (_, outs), _ = jax.lax.scan(tick, (state, outs),

@@ -32,16 +32,22 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 _MESH: Optional[Mesh] = None
+# monotonically increasing install generation: the jitted-step memo
+# (training/steps.py) keys traces on this instead of id(_MESH) — a GC'd
+# mesh whose address is reused by a new Mesh must never revive a trace
+# baked for the old mesh's shardings (ADVICE r4)
+_GEN: int = 0
 
 
 def install(mesh: Optional[Mesh]) -> None:
     """Enable SP constraints on this mesh (None = disable). Call before
     tracing any jitted step with cfg.seq_parallel=True."""
-    global _MESH
+    global _MESH, _GEN
     if mesh is not None and "model" not in mesh.axis_names:
         raise ValueError(f"seq-parallel needs a 'model' mesh axis, got "
                          f"{mesh.axis_names}")
     _MESH = mesh
+    _GEN += 1
 
 
 def active() -> bool:

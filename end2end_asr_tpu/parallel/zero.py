@@ -50,6 +50,8 @@ from end2end_asr_tpu.parallel.tp import mesh_model_size, param_pspecs
 
 _MESH: Optional[Mesh] = None
 _STAGE: int = 0  # 0 = off, 1 = moments sharded, 3 = + params/grads (FSDP)
+# install generation for the jitted-step memo key (see parallel/sp.py)
+_GEN: int = 0
 
 # optimizer-state keys whose leaves mirror the param tree (Adam moments,
 # SGD momentum buffer) — everything else (step, lr scalars) replicates
@@ -68,7 +70,7 @@ def install(mesh: Optional[Mesh], stage: int = 1) -> None:
     shards only the optimizer moments (--zero1); stage=3 additionally
     lays the parameters out sharded over 'data' (--fsdp; grads follow
     by GSPMD propagation). Call before tracing any jitted step."""
-    global _MESH, _STAGE
+    global _MESH, _STAGE, _GEN
     if mesh is not None and "data" not in mesh.axis_names:
         raise ValueError(f"--zero1/--fsdp need a 'data' mesh axis, got "
                          f"{mesh.axis_names}")
@@ -76,6 +78,7 @@ def install(mesh: Optional[Mesh], stage: int = 1) -> None:
         raise ValueError(f"ZeRO stage must be 1 or 3, got {stage}")
     _MESH = mesh
     _STAGE = stage if mesh is not None else 0
+    _GEN += 1
 
 
 def active() -> bool:
@@ -161,12 +164,27 @@ def shard_params_fsdp(mesh: Mesh, params):
 
 
 def constrain_params(new_params, mesh: Optional[Mesh] = None):
-    """Inside-jit (stage 3): pin the updated params to the FSDP layout
-    so the donated buffers alias and the weights stay sharded between
-    steps."""
+    """Inside-jit: pin the updated params to their between-steps layout.
+
+    Stage 3: the FSDP specs, so the donated buffers alias and the
+    weights stay sharded between steps.
+
+    Stage 1: the base TP specs (replicated over 'data') — NOT a no-op.
+    Without the pin, GSPMD leaves the updated params in the layout the
+    Adam update computed them in (sharded over 'data' like the moments,
+    found by tests/test_sharding_lowering.py): numerically fine, but
+    the donated replicated input can't alias the sharded output, and
+    the next step's call sees differently-laid-out params and
+    recompiles. Pinning here makes the program itself do the classic
+    ZeRO-1 all-gather of the updated shards."""
     mesh = mesh if mesh is not None else _MESH
-    if mesh is None or _STAGE < 3:
+    if mesh is None or _STAGE < 1:
         return new_params
+    if _STAGE < 3:
+        base = param_pspecs(new_params, mesh_model_size(mesh))
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, s)), new_params, base)
     specs = fsdp_pspecs(new_params, mesh)
     return jax.tree_util.tree_map(
         lambda x, s: jax.lax.with_sharding_constraint(

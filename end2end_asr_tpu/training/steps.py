@@ -242,20 +242,21 @@ def _memo(kind: str, cfg: Config, dims: ModelDims, from_pcm: bool, build):
         key = (kind, cfg, dims, from_pcm)
         if getattr(cfg, "seq_parallel", False):
             # SP traces bake the installed mesh into their sharding
-            # constraints (parallel/sp.py module state) — key on it so a
-            # later install() with a different mesh never reuses a trace
-            # built for the old one.
+            # constraints (parallel/sp.py module state) — key on the
+            # INSTALL GENERATION, not id(mesh): a GC'd mesh whose address
+            # a new Mesh reuses must never revive a stale trace
+            # (ADVICE r4; regression test tests/test_steps_memo.py).
             from end2end_asr_tpu.parallel import sp
-            key += (id(sp._MESH),)
+            key += (sp._GEN,)
         if getattr(cfg, "mesh_pipe", 1) > 1:
             # same for the pipeline mesh + microbatch count
             # (parallel/pp.py module state)
             from end2end_asr_tpu.parallel import pp
-            key += (id(pp._MESH), pp._N_MICRO)
+            key += (pp._GEN, pp._N_MICRO)
         if getattr(cfg, "zero1", False) or getattr(cfg, "fsdp", False):
             # same for the ZeRO mesh + stage (parallel/zero.py state)
             from end2end_asr_tpu.parallel import zero
-            key += (id(zero._MESH), zero._STAGE)
+            key += (zero._GEN, zero._STAGE)
         hash(key)
     except TypeError:
         return build()
