@@ -445,7 +445,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quantize-int8", action="store_true",
                    help="eval-only: weight-only int8 PTQ of the "
                         "encoder/decoder dense weights on load "
-                        "(models/quantize.py)")
+                        "(models/quantize.py). 4x smaller serving "
+                        "weights at pinned transcript parity; SPEED is "
+                        "length-dependent on this 39M-param model — "
+                        "long greedy loops ~11%% faster, beam ~0, short "
+                        "(<~64-step) non-progressive greedy up to ~25%% "
+                        "SLOWER from dequant overhead (measured table: "
+                        "BENCH_NOTES.md round 4)")
     p.add_argument("--no-ref-compat-masks", dest="ref_compat_masks",
                    action="store_false",
                    help="use properly subsampled encoder pad masks instead "

@@ -21,6 +21,8 @@ from end2end_asr_tpu.training.trainer import Trainer, strip_specials
 
 from tests.synth import TEXTS, make_corpus
 
+pytestmark = pytest.mark.slow  # full-grad compiles / long e2e soak
+
 
 def mini_cfg(manifest, labels):
     return Config(

@@ -7,6 +7,7 @@ Serving feature beyond the reference (it evaluates in f32,
 test.py:60-98)."""
 
 import functools
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,8 @@ from end2end_asr_tpu.models.quantize import (quantize_dense,
                                              quantize_for_inference)
 from end2end_asr_tpu.models.transformer import (dims_from_config, forward,
                                                 init_transformer)
+
+pytestmark = pytest.mark.slow  # full-grad compiles / long e2e soak
 
 CFG = Config(num_layers=2, num_heads=4, dim_model=64, dim_key=16,
              dim_value=16, dim_inner=128, dim_emb=64, feat_extractor="",

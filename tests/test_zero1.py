@@ -26,6 +26,8 @@ from end2end_asr_tpu.parallel.tp import make_mesh_2d, shard_params
 from end2end_asr_tpu.training.optimizer import init_adam_state
 from end2end_asr_tpu.training.steps import make_train_step
 
+pytestmark = pytest.mark.slow  # full-grad compiles / long e2e soak
+
 CFG = Config(num_layers=2, num_heads=4, dim_model=64, dim_key=16,
              dim_value=16, dim_inner=128, dim_emb=64, feat_extractor="",
              dim_input=161, dtype="float32", dropout=0.0,

@@ -39,7 +39,10 @@ def main(argv=None):
                          "LM-rescored beam (see evaluation.py)")
     ap.add_argument("--quantize-int8", action="store_true",
                     help="weight-only int8 PTQ of the encoder/decoder "
-                         "dense weights on load (models/quantize.py)")
+                         "dense weights on load (models/quantize.py). "
+                         "4x smaller weights at transcript parity; short "
+                         "non-progressive greedy decodes can be SLOWER "
+                         "(BENCH_NOTES.md round 4)")
     args = ap.parse_args(argv)
 
     from end2end_asr_tpu.data.audio import load_audio
